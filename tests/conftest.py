@@ -1,0 +1,20 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU mesh.
+
+Tests never touch the real TPU chip; multi-chip sharding is validated on a
+virtual CPU mesh (xla_force_host_platform_device_count=8), per the driver's
+dryrun contract. Note the environment pins JAX_PLATFORMS=axon via
+sitecustomize, so we must override through jax.config, not the env var.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
