@@ -128,9 +128,9 @@ class MockProver:
             constant=lambda v: v % p,
             cell=cell,
             selector=lambda s: self.selectors[s.index],
-            add=lambda a, b: np.mod(a + b, p),
-            mul=lambda a, b: np.mod(a * b, p),
-            neg=lambda a: np.mod(-a, p),
+            add=lambda a, b: (a + b) % p,
+            mul=lambda a, b: (a * b) % p,
+            neg=lambda a: (-a) % p,
         )
 
     def _verify_gates(self) -> list[VerifyFailure]:

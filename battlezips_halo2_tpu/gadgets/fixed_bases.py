@@ -1,0 +1,107 @@
+"""Fixed-base scalar-multiplication window tables (85 x 3-bit windows).
+
+Reverse-engineered semantics of the reference's precomputed tables
+(src/utils/constants/fixed_bases/board_commit_{v,r}.rs, SURVEY.md §2.1),
+verified numerically against the published Z/U data:
+
+* window w < 84:  M[w][j] = [(j + 2) * 8^w] B   for j in 0..8
+  (the +2 offset keeps incomplete additions well-defined)
+* window 84:      M[84][j] = [j * 8^84 - OFFSET] B,
+  OFFSET = sum_{i<84} 2 * 8^i  (undoes the accumulated offsets)
+* Z[w] = smallest z >= 0 such that for all 8 window points (x, y):
+  y + z is a QR and -y + z is not  (y-canonicity witness)
+* U[w][j] = sqrt(y_j + Z[w])  (deterministic Tonelli-Shanks root, matches
+  the ff crate's convention — verified byte-for-byte)
+
+Per-window x-coordinates are compressed into a degree-7 Lagrange polynomial
+whose 8 coefficients live in the fixed "Lagrange" columns of the ECC chip.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+
+from ..curves.host import PALLAS, Curve, Point
+from ..fields.host import FP
+from ..poly import lagrange_interpolate
+from ..utils.constants import FIXED_BASE_WINDOW_SIZE, H, NUM_WINDOWS
+
+OFFSET = sum(2 * 8**i for i in range(NUM_WINDOWS - 1))
+
+
+def window_points(curve: Curve, base: Point, w: int) -> list[Point]:
+    if w < NUM_WINDOWS - 1:
+        return [curve.mul(base, (j + 2) * (8**w)) for j in range(H)]
+    n = curve.scalar.modulus
+    return [curve.mul(base, (j * 8 ** (NUM_WINDOWS - 1) - OFFSET) % n) for j in range(H)]
+
+
+def find_z(ys: list[int], field=FP) -> int:
+    """Smallest z making every y+z a QR and every -y+z a non-QR."""
+    z = 0
+    while True:
+        if all(field.is_square(y + z) and not field.is_square(field.neg(y) + z) for y in ys):
+            return z
+        z += 1
+
+
+@dataclass(frozen=True)
+class WindowTable:
+    """Precomputed per-window data for one fixed base."""
+
+    points: tuple  # 8 affine points
+    lagrange_coeffs: tuple  # 8 coefficients of the x-interp polynomial
+    z: int
+    us: tuple  # 8 sqrt(y + z) witnesses
+
+
+@dataclass(frozen=True)
+class FixedBase:
+    """A fixed generator plus its full window-table set."""
+
+    name: str
+    generator: Point
+    windows: tuple  # NUM_WINDOWS WindowTables
+
+    @staticmethod
+    def build(name: str, generator: Point, zs: list[int] | None = None, curve: Curve = PALLAS) -> "FixedBase":
+        """Build tables for a generator. If ``zs`` is given (e.g. from the
+        reference tables), skip the z-search; otherwise derive from scratch."""
+        windows = []
+        for w in range(NUM_WINDOWS):
+            pts = window_points(curve, generator, w)
+            ys = [p[1] for p in pts]
+            z = zs[w] if zs is not None else find_z(ys)
+            us = tuple(curve.base.sqrt((y + z) % curve.base.modulus) for y in ys)
+            coeffs = tuple(lagrange_interpolate(list(range(H)), [p[0] for p in pts], curve.base))
+            windows.append(WindowTable(tuple(pts), coeffs, z, us))
+        return FixedBase(name, generator, tuple(windows))
+
+
+def decompose_scalar(k: int) -> list[int]:
+    """255-bit little-endian 3-bit window decomposition."""
+    assert 0 <= k < (1 << (FIXED_BASE_WINDOW_SIZE * NUM_WINDOWS))
+    return [(k >> (3 * w)) & 7 for w in range(NUM_WINDOWS)]
+
+
+def mul_windows(curve: Curve, base_table: FixedBase, windows: list[int]) -> Point:
+    """Host-side reference of the in-circuit mul: sum the window points."""
+    acc: Point = None
+    for w, kw in enumerate(windows):
+        acc = curve.add(acc, base_table.windows[w].points[kw])
+    return acc
+
+
+@lru_cache(maxsize=None)
+def board_commit_v() -> FixedBase:
+    from ..utils.constants import BOARD_COMMIT_V_GENERATOR, reference_tables
+
+    return FixedBase.build("BoardCommitV", BOARD_COMMIT_V_GENERATOR, reference_tables()["board_commit_v"]["z"])
+
+
+@lru_cache(maxsize=None)
+def board_commit_r() -> FixedBase:
+    from ..utils.constants import BOARD_COMMIT_R_GENERATOR, reference_tables
+
+    return FixedBase.build("BoardCommitR", BOARD_COMMIT_R_GENERATOR, reference_tables()["board_commit_r"]["z"])
