@@ -1,0 +1,118 @@
+"""ShotCircuit tests — mirror of the reference's 14 shot tests
+(src/circuits/shot.rs:100-878): 4 valid hit/miss cases, 9 negative cases
+(non-boolean hit, wrong assertions, zero/multi shots, commitment and public
+input tampering). (`production` lives in test_prover.py.)"""
+
+import pytest
+
+from battlezips_halo2_tpu.circuits import ShotCircuit
+from battlezips_halo2_tpu.dev import ConstraintNotSatisfied, MockProver, Permutation
+from battlezips_halo2_tpu.fields import FP
+from battlezips_halo2_tpu.utils import BinaryValue, Board, Deck, pedersen_commit, serialize
+
+TRAPDOOR = 0xFEEDC0FFEE_1234_5678_9ABC
+
+BOARD_0 = [(3, 3, True), (5, 4, False), (0, 1, False), (0, 5, True), (6, 1, False)]
+BOARD_1 = [(3, 4, False), (9, 6, True), (0, 0, False), (0, 6, False), (6, 1, True)]
+
+
+def make_board(placements):
+    return Board.from_deck(Deck.from_placements(placements))
+
+
+def run_shot(board, shot, hit, tamper=None, k=11):
+    """tamper: optional fn(instance_list) -> instance_list"""
+    circuit = ShotCircuit(board.state(), TRAPDOOR, shot, BinaryValue(hit))
+    instance = circuit.public_instance()
+    if tamper:
+        instance = tamper(list(instance))
+    return MockProver.run(k, circuit, [instance]).verify()
+
+
+def constraint_names(failures):
+    return {f.constraint.name for f in failures if isinstance(f, ConstraintNotSatisfied)}
+
+
+class TestValid:
+    def test_valid_hit_0(self):
+        # carrier at (3,3,V) covers transposed cells 33,34,...: shot (3,3)
+        assert run_shot(make_board(BOARD_0), serialize([3], [3]), 1) == []
+
+    def test_valid_hit_1(self):
+        assert run_shot(make_board(BOARD_1), serialize([3], [4]), 1) == []
+
+    def test_valid_miss_0(self):
+        assert run_shot(make_board(BOARD_0), serialize([9], [9]), 0) == []
+
+    def test_valid_miss_1(self):
+        assert run_shot(make_board(BOARD_1), serialize([0], [9]), 0) == []
+
+
+class TestInvalid:
+    def test_invalid_non_boolean_hit_assertion(self):
+        """hit = 2 trips the booleanity gate (shot.rs:261-333)."""
+        failures = run_shot(make_board(BOARD_0), serialize([3], [3]), 2)
+        names = constraint_names(failures)
+        assert "asserted hit value is boolean" in names
+
+    def test_invalid_assert_hit_when_miss(self):
+        failures = run_shot(make_board(BOARD_0), serialize([9], [9]), 1)
+        assert "Public hit assertion matches private witness" in constraint_names(failures)
+
+    def test_invalid_assert_miss_when_hit(self):
+        failures = run_shot(make_board(BOARD_0), serialize([3], [3]), 0)
+        assert "Public hit assertion matches private witness" in constraint_names(failures)
+
+    def test_invalid_no_shot(self):
+        failures = run_shot(make_board(BOARD_0), BinaryValue.empty(), 0)
+        assert "Shot only fires at one board cell" in constraint_names(failures)
+
+    def test_invalid_multi_shot(self):
+        failures = run_shot(make_board(BOARD_0), serialize([9, 8], [9, 9]), 0)
+        assert "Shot only fires at one board cell" in constraint_names(failures)
+
+    def test_invalid_multi_hit(self):
+        """Two shots that both hit: shot count and hit-assertion both break
+        (shot.rs:566-639)."""
+        board = make_board(BOARD_0)
+        failures = run_shot(board, serialize([3, 3], [3, 4]), 1)
+        names = constraint_names(failures)
+        assert "Shot only fires at one board cell" in names
+
+    def test_invalid_commitment(self):
+        """Tampered x coordinate: permutation failures anchored at the
+        complete-point-addition output and the instance column
+        (shot.rs:642-695)."""
+
+        def tamper(inst):
+            inst[0] = FP.add(inst[0], 1)
+            return inst
+
+        failures = run_shot(make_board(BOARD_1), serialize([0], [0]), 1, tamper)
+        assert failures and all(isinstance(f, Permutation) for f in failures)
+        regions = {f.location.region.name for f in failures if f.location.region is not None}
+        assert "complete point addition" in regions
+
+    def test_invalid_public_board_commitment(self):
+        def tamper(inst):
+            inst[1] = FP.add(inst[1], 1)
+            return inst
+
+        failures = run_shot(make_board(BOARD_0), serialize([0], [0]), 0, tamper)
+        assert failures and all(isinstance(f, Permutation) for f in failures)
+
+    def test_invalid_public_shot_commitment(self):
+        def tamper(inst):
+            inst[2] = FP.add(inst[2], 1)
+            return inst
+
+        failures = run_shot(make_board(BOARD_0), serialize([0], [0]), 0, tamper)
+        assert failures and all(isinstance(f, Permutation) for f in failures)
+
+    def test_invalid_public_hit_assertion(self):
+        def tamper(inst):
+            inst[3] = FP.sub(inst[3], 1)
+            return inst
+
+        failures = run_shot(make_board(BOARD_0), serialize([3], [3]), 1, tamper)
+        assert failures and all(isinstance(f, Permutation) for f in failures)
