@@ -33,8 +33,26 @@ LIMB_BITS = 16
 MASK = (1 << LIMB_BITS) - 1
 U32 = jnp.uint32
 
-# index matrix for the schoolbook product scatter-add: IDX[i, j] = i + j
-_IDX = np.add.outer(np.arange(NLIMBS), np.arange(NLIMBS))
+
+def _conv_tensor(out_lanes: int, shift: int) -> np.ndarray:
+    """(16, 16, out_lanes) 0/1 tensor: M[i, j, i+j+shift] = 1.
+
+    Turns the schoolbook anti-diagonal accumulation into a single einsum
+    (one XLA dot), which compiles orders of magnitude faster than per-limb
+    dynamic-update-slices and fuses well on TPU."""
+    m = np.zeros((NLIMBS, NLIMBS, out_lanes), dtype=np.uint32)
+    for i in range(NLIMBS):
+        for j in range(NLIMBS):
+            k = i + j + shift
+            if k < out_lanes:
+                m[i, j, k] = 1
+    return m
+
+
+_CONV_LO = _conv_tensor(2 * NLIMBS + 2, 0)
+_CONV_HI = _conv_tensor(2 * NLIMBS + 2, 1)
+_CONV_LO16 = _conv_tensor(NLIMBS, 0)
+_CONV_HI16 = _conv_tensor(NLIMBS, 1)
 
 
 def int_to_limbs(x: int) -> np.ndarray:
@@ -65,6 +83,7 @@ class FieldSpec:
     name: str
     modulus: int
     n0: int  # -modulus^{-1} mod 2^16
+    nprime_limbs: np.ndarray  # (16,) -modulus^{-1} mod 2^256
     p_limbs: np.ndarray  # (16,)  uint32
     p17: np.ndarray  # (17,) uint32 (top lane 0), for compare-subtract
     r_mod_p: int  # R = 2^256 mod p  (Montgomery one)
@@ -77,6 +96,7 @@ class FieldSpec:
     def make(modulus: int, name: str = "F") -> "FieldSpec":
         host = FP if modulus == FP.modulus else (FQ if modulus == FQ.modulus else Field(modulus, name=name))
         n0 = (-pow(modulus, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS)
+        nprime = (-pow(modulus, -1, 1 << 256)) % (1 << 256)
         r = (1 << 256) % modulus
         r2 = (r * r) % modulus
         p_limbs = int_to_limbs(modulus)
@@ -85,6 +105,7 @@ class FieldSpec:
             name=name,
             modulus=modulus,
             n0=n0,
+            nprime_limbs=int_to_limbs(nprime),
             p_limbs=p_limbs,
             p17=p17,
             r_mod_p=r,
@@ -155,17 +176,83 @@ def neg(spec: FieldSpec, a):
     return sub(spec, zero, a)
 
 
-def _redc(spec: FieldSpec, t):
-    """Montgomery reduction of a (..., 34)-lane uint32 accumulator."""
-    n0 = np.uint32(spec.n0)
-    p = jnp.asarray(spec.p_limbs)
-    for i in range(NLIMBS):
-        m = ((t[..., i] & MASK) * n0) & MASK
-        prod = m[..., None] * p  # (..., 16) uint32
-        t = t.at[..., i : i + NLIMBS].add(prod & MASK)
-        t = t.at[..., i + 1 : i + 1 + NLIMBS].add(prod >> LIMB_BITS)
-        t = t.at[..., i + 1].add(t[..., i] >> LIMB_BITS)
-    r17 = _normalize17(t[..., NLIMBS : NLIMBS + 17])
+_CONV_MAT = None  # built lazily: (512, 34) f32 and (512, 16) f32
+
+
+def _conv_mats():
+    global _CONV_MAT
+    if _CONV_MAT is None:
+        full = np.concatenate(
+            [_CONV_LO.reshape(NLIMBS * NLIMBS, -1), _CONV_HI.reshape(NLIMBS * NLIMBS, -1)]
+        ).astype(np.float32)
+        low = np.concatenate(
+            [_CONV_LO16.reshape(NLIMBS * NLIMBS, -1), _CONV_HI16.reshape(NLIMBS * NLIMBS, -1)]
+        ).astype(np.float32)
+        _CONV_MAT = (full, low)
+    return _CONV_MAT
+
+
+def _split_products(a, b):
+    """(..., 512) f32 vector of lo|hi 16-bit halves of all limb products.
+
+    Limb products are exact in uint32 ((2^16-1)^2 < 2^32); the 16-bit halves
+    and their anti-diagonal sums (< 2^22) are exact in float32 — which turns
+    the schoolbook accumulation into a single f32 matmul (MXU on TPU)."""
+    prod = a.astype(U32)[..., :, None] * b.astype(U32)[..., None, :]
+    lo = (prod & MASK).astype(jnp.float32)
+    hi = (prod >> LIMB_BITS).astype(jnp.float32)
+    flat = prod.shape[:-2] + (NLIMBS * NLIMBS,)
+    return jnp.concatenate([lo.reshape(flat), hi.reshape(flat)], axis=-1)
+
+
+def _mul_lanes(a, b):
+    """Full 16x16 schoolbook product as (..., 34) unnormalized uint32 lanes
+    (each lane < 2^21): one u32 multiply + one f32 matmul."""
+    full, _ = _conv_mats()
+    t = jnp.matmul(_split_products(a, b), jnp.asarray(full), preferred_element_type=jnp.float32)
+    return t.astype(U32)
+
+
+def _mul_low16(a, b):
+    """Low 16 limbs of a*b mod 2^256, canonical."""
+    _, low = _conv_mats()
+    t = jnp.matmul(_split_products(a, b), jnp.asarray(low), preferred_element_type=jnp.float32).astype(U32)
+    # carry-propagate 16 lanes, dropping the final carry (mod 2^256)
+    out = []
+    carry = jnp.zeros_like(t[..., 0])
+    for j in range(NLIMBS):
+        v = t[..., j] + carry
+        out.append(v & MASK)
+        carry = v >> LIMB_BITS
+    return jnp.stack(out, axis=-1)
+
+
+def _carry_lanes(t, nout: int):
+    """Carry-propagate unnormalized lanes into nout canonical limbs."""
+    out = []
+    carry = jnp.zeros_like(t[..., 0])
+    lanes = t.shape[-1]
+    for j in range(nout):
+        v = (t[..., j] if j < lanes else jnp.zeros_like(carry)) + carry
+        out.append(v & MASK)
+        carry = v >> LIMB_BITS
+    return jnp.stack(out, axis=-1)
+
+
+def _redc_wide(spec: FieldSpec, t_lanes):
+    """Separated Montgomery reduction of a (..., >=33)-lane accumulator
+    representing T < p*R:  m = (T mod R)*N' mod R;  r = (T + m*p)/R, then a
+    conditional subtract. Only matmuls + unrolled elementwise carries.
+
+    T mod R only needs the low 16 lanes carry-propagated (overflow past lane
+    15 leaves the residue), so the full 32-limb normalize is skipped."""
+    t_low = _carry_lanes(t_lanes[..., :NLIMBS], NLIMBS)  # T mod 2^256 (canonical)
+    m = _mul_low16(t_low, jnp.asarray(spec.nprime_limbs))
+    mp = _mul_lanes(m, jnp.asarray(spec.p_limbs))  # (..., 34) lanes < 2^21
+    lanes = t_lanes.shape[-1]
+    s = mp.at[..., :lanes].add(t_lanes)  # lanes < 2^22
+    s = _carry_lanes(s, 2 * NLIMBS + 2)
+    r17 = s[..., NLIMBS : NLIMBS + 17]
     return _cond_sub_p(spec, r17)
 
 
@@ -175,16 +262,7 @@ def mont_mul(spec: FieldSpec, a, b):
     a, b: (..., 16) uint32 canonical limbs (values < p, in Montgomery form
     for field semantics; the kernel itself is representation-agnostic).
     """
-    a = a.astype(U32)
-    b = b.astype(U32)
-    prod = a[..., :, None] * b[..., None, :]  # (..., 16, 16)
-    lo = prod & MASK
-    hi = prod >> LIMB_BITS
-    batch_shape = prod.shape[:-2]
-    t = jnp.zeros(batch_shape + (2 * NLIMBS + 2,), dtype=U32)
-    t = t.at[..., _IDX].add(lo)
-    t = t.at[..., _IDX + 1].add(hi)
-    return _redc(spec, t)
+    return _redc_wide(spec, _mul_lanes(a, b))
 
 
 def mont_sqr(spec: FieldSpec, a):
@@ -201,9 +279,9 @@ def from_mont(spec: FieldSpec, a):
     """Montgomery form -> plain limbs (REDC against 1)."""
     a = a.astype(U32)
     batch_shape = a.shape[:-1]
-    t = jnp.zeros(batch_shape + (2 * NLIMBS + 2,), dtype=U32)
+    t = jnp.zeros(batch_shape + (2 * NLIMBS + 1,), dtype=U32)
     t = t.at[..., :NLIMBS].add(a)
-    return _redc(spec, t)
+    return _redc_wide(spec, t)
 
 
 def is_zero(a):

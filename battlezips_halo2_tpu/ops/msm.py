@@ -1,0 +1,172 @@
+"""Pippenger multi-scalar multiplication on device (JAX).
+
+The north-star kernel (SURVEY.md §7.1 item 4). TPU-native formulation —
+no data-dependent control flow, everything static-shaped and vectorized:
+
+1. scalars are sliced host-side into c-bit window digits;
+2. per window, points are sorted by digit (XLA sort), bucket sums are
+   produced with a **segmented inclusive scan** (head-flag operator over a
+   Jacobian-point pytree via ``lax.associative_scan`` — log-depth, ~2N point
+   adds of work, all lane-parallel);
+3. bucket-weighted aggregation uses the classic suffix-sum identity
+   sum_b b*S_b = sum_j (sum_{b>=j} S_b), two more scans;
+4. windows combine with c doublings per step (Horner).
+
+The multi-chip variant (points partitioned per chip, bucket sums psum-
+reduced over the mesh) lives in parallel/msm.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..curves.host import Curve
+from ..curves.limb import (
+    JacobianPoint,
+    affine_to_jacobian_host,
+    infinity,
+    jacobian_to_affine_host,
+    point_add,
+    point_double,
+    select_point,
+)
+from ..fields import limb as L
+from ..fields.limb import FieldSpec
+
+WINDOW_BITS = 8
+SCALAR_BITS = 256
+
+
+def scalars_to_digits(scalars, c: int = WINDOW_BITS) -> np.ndarray:
+    """(num_windows, N) int32 little-endian c-bit digits."""
+    n_windows = (SCALAR_BITS + c - 1) // c
+    out = np.zeros((n_windows, len(scalars)), dtype=np.int32)
+    for i, s in enumerate(scalars):
+        s = int(s)
+        for w in range(n_windows):
+            out[w, i] = (s >> (c * w)) & ((1 << c) - 1)
+    return out
+
+
+def _shift_points(pts: JacobianPoint, flags, d, fill_flag):
+    """Lane j <- lane j-d; out-of-range lanes become (identity, fill_flag).
+    d may be a traced value (gather with computed indices)."""
+    n = flags.shape[0]
+    idx = jnp.arange(n) - d
+    oob = idx < 0
+    safe = jnp.clip(idx, 0, n - 1)
+    x = jnp.where(oob[:, None], 0, pts.x[safe])
+    y = jnp.where(oob[:, None], 0, pts.y[safe])
+    z = jnp.where(oob[:, None], 0, pts.z[safe])  # z=0 -> identity
+    f = jnp.where(oob, fill_flag, flags[safe])
+    return JacobianPoint(x, y, z), f
+
+
+def _hillis_steele_scan(spec: FieldSpec, pts: JacobianPoint, head, levels: int):
+    """Inclusive *segmented* scan (head-flag operator) with a single
+    point_add instance in the graph: fori_loop over log2(n) levels, dynamic
+    shift distance."""
+
+    def level(i, carry):
+        p, f = carry
+        d = jnp.left_shift(1, i)
+        # fill = the segmented-monoid identity (identity point, flag False)
+        sp, sf = _shift_points(p, f, d, jnp.zeros((), bool))
+        merged = point_add(spec, sp, p)
+        out = select_point(f, p, merged)
+        return (out, f | sf)
+
+    out, _ = jax.lax.fori_loop(0, levels, level, (pts, head))
+    return out
+
+
+def _segmented_bucket_sums(spec: FieldSpec, pts: JacobianPoint, digits, c: int):
+    """Sorted segmented scan -> (2^c + 1)-slot bucket array (slot 2^c is a
+    trash slot for non-segment-end rows)."""
+    n = digits.shape[0]
+    levels = max(1, (n - 1).bit_length())
+    order = jnp.argsort(digits)
+    d_s = digits[order]
+    pts = JacobianPoint(pts.x[order], pts.y[order], pts.z[order])
+
+    head = jnp.concatenate([jnp.ones(1, bool), d_s[1:] != d_s[:-1]])
+    scanned = _hillis_steele_scan(spec, pts, head, levels)
+
+    is_last = jnp.concatenate([d_s[1:] != d_s[:-1], jnp.ones(1, bool)])
+    target = jnp.where(is_last, d_s, 1 << c)
+
+    buckets = infinity(spec, ((1 << c) + 1,))
+    buckets = JacobianPoint(
+        buckets.x.at[target].set(scanned.x),
+        buckets.y.at[target].set(scanned.y),
+        buckets.z.at[target].set(scanned.z),
+    )
+    return buckets
+
+
+def _bucket_aggregate(spec: FieldSpec, buckets: JacobianPoint, c: int) -> JacobianPoint:
+    """sum_b b * S_b for b in [1, 2^c) via double suffix scan
+    (sum_b b*S_b == sum_j sum_{b>=j} S_b)."""
+    sl = slice((1 << c) - 1, 0, -1)
+    rev = JacobianPoint(buckets.x[sl], buckets.y[sl], buckets.z[sl])
+    m = (1 << c) - 1
+    no_head = jnp.zeros(m, bool)
+    suffix = _hillis_steele_scan(spec, rev, no_head, max(1, (m - 1).bit_length()))
+    total = _hillis_steele_scan(spec, suffix, no_head, max(1, (m - 1).bit_length()))
+    return JacobianPoint(total.x[-1], total.y[-1], total.z[-1])
+
+
+def _msm_device(spec: FieldSpec, qx, qy, qinf, digits, c: int) -> JacobianPoint:
+    one = jnp.broadcast_to(jnp.asarray(spec.one_mont), qx.shape)
+    zero = jnp.zeros_like(qx)
+    pts = JacobianPoint(qx, qy, jnp.where(qinf[:, None], zero, one))
+
+    # scan over windows MSB -> LSB: one compiled body regardless of window count
+    def body(acc, window_digits):
+        buckets = _segmented_bucket_sums(spec, pts, window_digits, c)
+        wsum = _bucket_aggregate(spec, buckets, c)
+        acc = jax.lax.fori_loop(0, c, lambda _, a: point_double(spec, a), acc)
+        acc = point_add(spec, acc, wsum)
+        return acc, None
+
+    init = infinity(spec)
+    acc, _ = jax.lax.scan(body, init, digits[::-1])
+    return acc
+
+
+@functools.lru_cache(maxsize=None)
+def _compiled_msm(modulus: int, n: int, c: int, n_windows: int):
+    spec = FieldSpec.make(modulus)
+
+    @jax.jit
+    def f(qx, qy, qinf, digits):
+        return _msm_device(spec, qx, qy, qinf, digits, c)
+
+    return f
+
+
+def msm(curve: Curve, points, scalars, c: int = WINDOW_BITS):
+    """Host-facing MSM: affine points (None = identity) x int scalars ->
+    affine result. Orchestrates the device kernel."""
+    assert len(points) == len(scalars)
+    if not points:
+        return None
+    # pad to a power of two (min 64) so arbitrary problem sizes share a small
+    # set of compiled kernels (zero scalars land in the discarded 0-bucket)
+    target = max(64, 1 << (len(points) - 1).bit_length())
+    if len(points) < target:
+        pad = target - len(points)
+        points = list(points) + [curve.generator] * pad
+        scalars = list(scalars) + [0] * pad
+    spec = FieldSpec.make(curve.base.modulus)
+    jac = affine_to_jacobian_host(spec, points)
+    qinf = jnp.asarray(np.array([p is None for p in points], dtype=bool))
+    digits = jnp.asarray(scalars_to_digits([s % curve.scalar.modulus for s in scalars], c))
+    f = _compiled_msm(curve.base.modulus, len(points), c, digits.shape[0])
+    out = f(jac.x, jac.y, qinf, digits)
+    res = jacobian_to_affine_host(spec, JacobianPoint(out.x[None], out.y[None], out.z[None]))
+    return res[0]

@@ -1,0 +1,178 @@
+"""Shared protocol machinery: query schedule, permutation & lookup argument
+formulas.
+
+The constraint formulas are written with plain Python operators so the SAME
+code evaluates them on the prover's extended-domain vectors (numpy object
+arrays) and on the verifier's scalars at the challenge point — one source of
+truth, no prover/verifier divergence.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..fields.host import FP
+from .circuit import ConstraintSystem
+from .expression import Column, ColumnType
+from .keygen import DELTA, num_fixed_total, selector_column_index
+
+P = FP.modulus
+
+
+@dataclass(frozen=True)
+class ProofSchedule:
+    """Canonical query ordering + argument shapes, derived purely from the
+    constraint system (identical on prover and verifier)."""
+
+    advice_queries: tuple  # ((col_index, rotation), ...)
+    fixed_queries: tuple  # ((combined_fixed_index, rotation), ...)
+    instance_queries: tuple  # ((col_index, rotation), ...)
+    num_perm_chunks: int
+    chunk_len: int
+
+    @staticmethod
+    def build(cs: ConstraintSystem) -> "ProofSchedule":
+        advice: set = set()
+        fixed: set = set()
+
+        def visit_expr(expr):
+            for col, rot in expr.queried_cells():
+                if col.kind == ColumnType.ADVICE:
+                    advice.add((col.index, rot))
+                elif col.kind == ColumnType.FIXED:
+                    fixed.add((col.index, rot))
+                else:
+                    raise ValueError("instance columns may not appear in gates")
+            _collect_selectors(expr, fixed, cs)
+
+        for gate in cs.gates:
+            for _, poly in gate.constraints:
+                visit_expr(poly)
+        for lk in cs.lookups:
+            for i_expr, t_expr in lk.mapping:
+                visit_expr(i_expr)
+                visit_expr(t_expr)
+        # the permutation argument reads every equality column at rotation 0
+        for col in cs.equality_columns:
+            if col.kind == ColumnType.ADVICE:
+                advice.add((col.index, 0))
+            elif col.kind == ColumnType.FIXED:
+                fixed.add((col.index, 0))
+        instance = tuple(sorted((c.index, 0) for c in cs.equality_columns if c.kind == ColumnType.INSTANCE))
+
+        chunk_len = max(1, cs.degree() - 2)
+        n_cols = len(cs.equality_columns)
+        chunks = (n_cols + chunk_len - 1) // chunk_len
+        return ProofSchedule(
+            advice_queries=tuple(sorted(advice)),
+            fixed_queries=tuple(sorted(fixed)),
+            instance_queries=instance,
+            num_perm_chunks=chunks,
+            chunk_len=chunk_len,
+        )
+
+
+def _collect_selectors(expr, fixed: set, cs: ConstraintSystem):
+    from .expression import Negated, Product, SelectorQuery, Sum
+
+    if isinstance(expr, SelectorQuery):
+        fixed.add((selector_column_index(cs, expr.sel.index), 0))
+    elif isinstance(expr, (Sum, Product)):
+        _collect_selectors(expr.a, fixed, cs)
+        _collect_selectors(expr.b, fixed, cs)
+    elif isinstance(expr, Negated):
+        _collect_selectors(expr.a, fixed, cs)
+
+
+def evaluate_expression(cs: ConstraintSystem, expr, cell_fn, selector_as_fixed_fn):
+    """Evaluate a gate/lookup Expression with polymorphic arithmetic.
+
+    cell_fn(column, rotation) -> value (array or scalar);
+    selector_as_fixed_fn(combined_fixed_index) -> value."""
+    return expr.evaluate(
+        constant=lambda v: v % P,
+        cell=cell_fn,
+        selector=lambda s: selector_as_fixed_fn(selector_column_index(cs, s.index)),
+        add=lambda a, b: (a + b) % P,
+        mul=lambda a, b: (a * b) % P,
+        neg=lambda a: (-a) % P,
+    )
+
+
+# ----------------------------------------------------------------- formulas
+def permutation_terms(
+    chunks: list,
+    l0,
+    llast,
+    lactive,
+    beta,
+    gamma,
+    x_coord,
+):
+    """Permutation argument constraint values (prover: vectors, verifier:
+    scalars).
+
+    chunks: list of dicts with keys
+      z, z_next       — z(X), z(omega X)
+      prev_last       — z_{c-1}(omega^u X) (None for chunk 0)
+      cols            — list of (value, sigma_eval, global_column_index)
+    """
+    terms = []
+    first_z = chunks[0]["z"]
+    terms.append(l0 * (1 - first_z) % P)
+    last_z = chunks[-1]["z"]
+    terms.append(llast * (last_z * last_z % P - last_z) % P)
+    for c in range(1, len(chunks)):
+        terms.append(l0 * (chunks[c]["z"] - chunks[c - 1]["prev_last"]) % P)
+    for chunk in chunks:
+        left = chunk["z_next"]
+        right = chunk["z"]
+        for value, sigma_eval, col_j in chunk["cols"]:
+            left = left * ((value + beta * sigma_eval + gamma) % P) % P
+            right = right * ((value + beta * pow(DELTA, col_j, P) % P * x_coord + gamma) % P) % P
+        terms.append((left - right) % P * lactive % P)
+    return terms
+
+
+def lookup_terms(lk, l0, llast, lactive, beta, gamma):
+    """Lookup argument constraint values.
+
+    lk: dict with keys z, z_next, a_compressed, s_compressed, a_perm,
+    a_perm_prev (A''(omega^-1 X)), s_perm."""
+    z, z_next = lk["z"], lk["z_next"]
+    terms = [
+        l0 * (1 - z) % P,
+        llast * (z * z % P - z) % P,
+        (
+            z_next * ((lk["a_perm"] + beta) % P) % P * ((lk["s_perm"] + gamma) % P)
+            - z * ((lk["a_compressed"] + beta) % P) % P * ((lk["s_compressed"] + gamma) % P)
+        )
+        % P
+        * lactive
+        % P,
+        l0 * (lk["a_perm"] - lk["s_perm"]) % P,
+        (lk["a_perm"] - lk["s_perm"]) % P * ((lk["a_perm"] - lk["a_perm_prev"]) % P) % P * lactive % P,
+    ]
+    return terms
+
+
+def permute_lookup_inputs(a_values: list[int], s_values: list[int]):
+    """halo2's lookup permutation: sort A; S gets matching first-occurrence
+    values, leftovers fill the rest. Raises if some input is not in the
+    table."""
+    a_sorted = sorted(a_values)
+    from collections import Counter
+
+    leftover = Counter(s_values)
+    s_perm: list = [None] * len(a_sorted)
+    for i, v in enumerate(a_sorted):
+        if i == 0 or a_sorted[i] != a_sorted[i - 1]:
+            if leftover[v] <= 0:
+                raise ValueError(f"lookup input {hex(v)} not found in table")
+            leftover[v] -= 1
+            s_perm[i] = v
+    fill = iter(sorted(leftover.elements()))
+    for i in range(len(s_perm)):
+        if s_perm[i] is None:
+            s_perm[i] = next(fill)
+    return a_sorted, s_perm

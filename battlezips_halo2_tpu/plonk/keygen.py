@@ -1,0 +1,177 @@
+"""Key generation: proving/verifying keys from a circuit.
+
+Framework analog of ``halo2_proofs::plonk::{keygen_vk, keygen_pk}``
+(SURVEY.md §2.2 "PLONKish constraint system + keygen"): runs a witness-free
+synthesis to collect fixed columns, selector activations and the equality
+permutation, builds the sigma polynomials (delta^j * omega^i cell encoding),
+and commits all fixed/sigma polynomials into the verifying key. Selectors
+are materialized as extra fixed columns (no selector compression yet).
+
+Artifacts are picklable/persistable — the params/pk/vk store the reference
+lacks (SURVEY.md §5.4).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+
+from ..fields.host import FP
+from ..pcs.ipa import Params, commit
+from ..poly.domain import EvaluationDomain
+from .assignment import Assignment, Layouter
+from .circuit import ConstraintSystem
+from .expression import Column, ColumnType
+
+# delta: generator of the order-(p-1)/2^32 subgroup — coset separator for
+# permutation cell encodings (disjoint from the omega subgroup cosets)
+DELTA = pow(FP.generator, 1 << FP.two_adicity, FP.modulus)
+
+
+@dataclass
+class PermutationData:
+    columns: list  # equality-enabled columns, in declaration order
+    sigmas: list  # per column: length-n list of encoded image values
+    sigma_polys: list  # coeff form
+    sigma_commitments: list
+
+
+@dataclass
+class VerifyingKey:
+    k: int
+    cs: ConstraintSystem
+    domain: EvaluationDomain
+    fixed_commitments: list  # num_fixed + num_selectors commitments
+    permutation: PermutationData
+    digest: int = 0
+
+    def compute_digest(self):
+        from ..curves.host import VESTA
+
+        h = hashlib.blake2b(digest_size=64, person=b"bz-tpu-vk-digest")
+        h.update(bytes([self.k]))
+        for c in self.fixed_commitments + self.permutation.sigma_commitments:
+            h.update(VESTA.to_bytes(c))
+        self.digest = FP.from_bytes_wide(h.digest())
+        return self.digest
+
+
+@dataclass
+class ProvingKey:
+    vk: VerifyingKey
+    fixed_values: list  # per fixed column (incl selectors): length-n ints
+    fixed_polys: list  # coeff form
+
+
+def num_fixed_total(cs: ConstraintSystem) -> int:
+    return cs.num_fixed + len(cs.selectors)
+
+
+def fixed_column_index(cs: ConstraintSystem, column: Column) -> int:
+    """Index into the combined fixed-column array (selectors appended)."""
+    assert column.kind == ColumnType.FIXED
+    return column.index
+
+
+def selector_column_index(cs: ConstraintSystem, sel_index: int) -> int:
+    return cs.num_fixed + sel_index
+
+
+def build_permutation(cs: ConstraintSystem, assignment: Assignment, n: int) -> tuple[list, list]:
+    """Union-find over copy constraints -> per-column sigma value lists."""
+    columns = list(cs.equality_columns)
+    col_pos = {c: j for j, c in enumerate(columns)}
+
+    parent: dict = {}
+
+    def find(cell):
+        while parent.get(cell, cell) != cell:
+            parent[cell] = parent.get(parent[cell], parent[cell])
+            cell = parent[cell]
+        return cell
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+
+    for left, right in assignment.copies:
+        union(left, right)
+
+    groups: dict = {}
+    for cell in list(parent.keys()):
+        groups.setdefault(find(cell), []).append(cell)
+    # include roots themselves
+    for root in list(groups.keys()):
+        if root not in groups[root]:
+            groups[root].append(root)
+
+    # identity mapping by default: sigma(col j, row i) = delta^j * omega^i
+    m = FP.modulus
+    omega_pows = [1] * n
+    for i in range(1, n):
+        omega_pows[i] = omega_pows[i - 1] * _omega_for(n) % m
+    delta_pows = [pow(DELTA, j, m) for j in range(len(columns))]
+
+    def encode(col_j, row_i):
+        return delta_pows[col_j] * omega_pows[row_i] % m
+
+    sigmas = [[encode(j, i) for i in range(n)] for j in range(len(columns))]
+
+    for cells in groups.values():
+        # cyclic shift within the group
+        cells = sorted(set(cells), key=lambda c: (col_pos[c[0]], c[1]))
+        for idx, cell in enumerate(cells):
+            nxt = cells[(idx + 1) % len(cells)]
+            j, i = col_pos[cell[0]], cell[1]
+            sigmas[j][i] = encode(col_pos[nxt[0]], nxt[1])
+    return columns, sigmas
+
+
+_omega_cache: dict = {}
+
+
+def _omega_for(n: int) -> int:
+    if n not in _omega_cache:
+        k = n.bit_length() - 1
+        _omega_cache[n] = pow(FP.root_of_unity, 1 << (FP.two_adicity - k), FP.modulus)
+    return _omega_cache[n]
+
+
+def keygen(params: Params, circuit) -> ProvingKey:
+    """Build pk (and embedded vk) for a circuit instance (uses
+    without_witnesses() so witness values never matter)."""
+    template = circuit.without_witnesses()
+    cs = ConstraintSystem()
+    config = type(template).configure(cs)
+    k = params.k
+    n = params.n
+    domain = EvaluationDomain(k, cs.degree())
+
+    assignment = Assignment(cs, n)
+    layouter = Layouter(assignment)
+    template.synthesize(config, layouter)
+    layouter.finalize()
+
+    fixed_values = []
+    for col in assignment.fixed:
+        fixed_values.append([0 if v is None else v % FP.modulus for v in col])
+    for sel in assignment.selectors:
+        fixed_values.append([1 if b else 0 for b in sel])
+
+    fixed_polys = [domain.lagrange_to_coeff(v) for v in fixed_values]
+    fixed_commitments = [commit(params, p, 0) for p in fixed_polys]
+
+    columns, sigmas = build_permutation(cs, assignment, n)
+    sigma_polys = [domain.lagrange_to_coeff(s) for s in sigmas]
+    sigma_commitments = [commit(params, p, 0) for p in sigma_polys]
+
+    vk = VerifyingKey(
+        k=k,
+        cs=cs,
+        domain=domain,
+        fixed_commitments=fixed_commitments,
+        permutation=PermutationData(columns, sigmas, sigma_polys, sigma_commitments),
+    )
+    vk.compute_digest()
+    return ProvingKey(vk=vk, fixed_values=fixed_values, fixed_polys=fixed_polys)
