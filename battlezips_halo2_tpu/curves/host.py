@@ -102,6 +102,31 @@ class Curve:
             acc = self.add(acc, self.mul(p, s))
         return acc
 
+    def pippenger(self, points, scalars, c: int = 8) -> Point:
+        """Host Pippenger — the fast exact CPU path for small/medium n."""
+        n_windows = (256 + c - 1) // c
+        mask = (1 << c) - 1
+        acc: Point = None
+        for w in range(n_windows - 1, -1, -1):
+            if acc is not None:
+                for _ in range(c):
+                    acc = self.double(acc)
+            buckets: dict[int, Point] = {}
+            shift = c * w
+            for p, s in zip(points, scalars):
+                if p is None:
+                    continue
+                d = (int(s) >> shift) & mask
+                if d:
+                    buckets[d] = self.add(buckets.get(d), p)
+            running: Point = None
+            wsum: Point = None
+            for d in range(max(buckets, default=0), 0, -1):
+                running = self.add(running, buckets.get(d))
+                wsum = self.add(wsum, running)
+            acc = self.add(acc, wsum)
+        return acc
+
     # --- encodings (pasta_curves GroupEncoding) ---------------------------
     def to_bytes(self, p: Point) -> bytes:
         if p is None:

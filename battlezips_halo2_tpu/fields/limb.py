@@ -61,8 +61,10 @@ def int_to_limbs(x: int) -> np.ndarray:
 
 
 def ints_to_limbs(xs) -> np.ndarray:
-    """Sequence of ints -> (N, 16) uint32 limb array."""
-    return np.stack([int_to_limbs(int(x)) for x in xs])
+    """Sequence of ints -> (N, 16) uint32 limb array (bulk, via bytes)."""
+    xs = list(xs)
+    buf = b"".join(int(x).to_bytes(32, "little") for x in xs)
+    return np.frombuffer(buf, dtype="<u2").reshape(len(xs), NLIMBS).astype(np.uint32)
 
 
 def limbs_to_int(a) -> int:
@@ -72,8 +74,10 @@ def limbs_to_int(a) -> int:
 
 
 def limbs_to_ints(a) -> list[int]:
-    a = np.asarray(a)
-    return [limbs_to_int(a[i]) for i in range(a.shape[0])]
+    """(N, 16) limb array -> list of ints (bulk, via bytes)."""
+    a16 = np.ascontiguousarray(np.asarray(a)).astype("<u2")  # limbs < 2^16
+    data = a16.tobytes()
+    return [int.from_bytes(data[i * 32 : (i + 1) * 32], "little") for i in range(a16.shape[0])]
 
 
 @dataclass(frozen=True)

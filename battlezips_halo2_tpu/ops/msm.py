@@ -149,12 +149,26 @@ def _compiled_msm(modulus: int, n: int, c: int, n_windows: int):
     return f
 
 
-def msm(curve: Curve, points, scalars, c: int = WINDOW_BITS):
+def device_backend_is_tpu() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
+def msm(curve: Curve, points, scalars, c: int = WINDOW_BITS, force_device: bool = False):
     """Host-facing MSM: affine points (None = identity) x int scalars ->
-    affine result. Orchestrates the device kernel."""
+    affine result.
+
+    Dispatches to the device Pippenger kernel on real accelerators (or when
+    forced); small problems on the CPU test backend use the exact host
+    Pippenger — the device kernel's sequential scan depth is constant in n,
+    so tiny MSMs gain nothing from it."""
     assert len(points) == len(scalars)
     if not points:
         return None
+    if not force_device and (not device_backend_is_tpu()) :
+        return curve.pippenger(points, scalars)
     # pad to a power of two (min 64) so arbitrary problem sizes share a small
     # set of compiled kernels (zero scalars land in the discarded 0-bucket)
     target = max(64, 1 << (len(points) - 1).bit_length())

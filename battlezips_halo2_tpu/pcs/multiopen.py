@@ -1,0 +1,206 @@
+"""Multi-point batch opening for the IPA PCS.
+
+Framework analog of ``halo2_proofs::poly::multiopen`` (SURVEY.md §2.2 "IPA
+commitment scheme — multiopen (batched quotient trick)"): queries are
+grouped by point set, combined with x1 powers within a set, the quotient
+aggregate f(X) = sum_i x2^i (q_i - r_i)/prod(X - p) is committed, q_i(x3)
+evals are revealed, and a single IPA opening of f + sum x4^(i+1) q_i at x3
+closes the argument.
+
+Prover and verifier MUST build their query lists in the same canonical
+order (plonk/prover.py and plonk/verifier.py share the schedule)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ..curves.host import VESTA, Point
+from ..fields.host import FP
+from ..poly.domain import eval_poly_coeffs
+from ..poly.lagrange import lagrange_interpolate
+from ..plonk.transcript import TranscriptRead, TranscriptWrite
+from .ipa import Params, commit, create_open_proof, verify_open_proof
+
+P = FP.modulus
+
+
+@dataclass
+class Query:
+    poly: list  # coefficient list (prover side)
+    blind: int
+    point: int
+    eval: int
+
+
+@dataclass
+class VerifierQuery:
+    name: object  # poly identity key — same grouping as the prover's id(poly)
+    commitment: Point
+    point: int
+    eval: int
+
+
+def _group(queries, key_fn):
+    """-> (poly_order, per-poly {point: eval}), then point-set grouping in
+    first-occurrence order."""
+    poly_keys = []
+    by_poly: dict = {}
+    for q in queries:
+        k = key_fn(q)
+        if k not in by_poly:
+            by_poly[k] = {"queries": [], "points": []}
+            poly_keys.append(k)
+        by_poly[k]["queries"].append(q)
+        if q.point not in by_poly[k]["points"]:
+            by_poly[k]["points"].append(q.point)
+
+    set_order = []
+    sets: dict = {}
+    for k in poly_keys:
+        pts = tuple(sorted(by_poly[k]["points"]))
+        if pts not in sets:
+            sets[pts] = []
+            set_order.append(pts)
+        sets[pts].append(k)
+    return poly_keys, by_poly, set_order, sets
+
+
+def _poly_sub(a: list[int], b: list[int]) -> list[int]:
+    n = max(len(a), len(b))
+    out = [0] * n
+    for i in range(n):
+        av = a[i] if i < len(a) else 0
+        bv = b[i] if i < len(b) else 0
+        out[i] = (av - bv) % P
+    return out
+
+
+def _poly_divide_linear(poly: list[int], point: int) -> list[int]:
+    """Exact division by (X - point); remainder asserted zero."""
+    out = [0] * (len(poly) - 1)
+    rem = 0
+    for i in range(len(poly) - 1, -1, -1):
+        cur = (poly[i] + rem * point) % P
+        if i == 0:
+            assert cur == 0, "non-zero remainder in multiopen division"
+        else:
+            out[i - 1] = cur
+            rem = cur
+    return out
+
+
+def multiopen_prove(params: Params, transcript: TranscriptWrite, queries: list[Query], rng):
+    x1 = transcript.squeeze_challenge()
+    _, by_poly, set_order, sets = _group(queries, key_fn=lambda q: id(q.poly))
+
+    q_polys, q_blinds, q_evals = [], [], []
+    for pts in set_order:
+        poly_acc: list[int] = []
+        blind_acc = 0
+        evals = {p: 0 for p in pts}
+        power = 1
+        for k in sets[pts]:
+            info = by_poly[k]
+            poly = info["queries"][0].poly
+            blind = info["queries"][0].blind
+            if len(poly) > len(poly_acc):
+                poly_acc = poly_acc + [0] * (len(poly) - len(poly_acc))
+            for i, c in enumerate(poly):
+                poly_acc[i] = (poly_acc[i] + power * c) % P
+            blind_acc = (blind_acc + power * blind) % P
+            ev_by_point = {q.point: q.eval for q in info["queries"]}
+            for p in pts:
+                evals[p] = (evals[p] + power * ev_by_point[p]) % P
+            power = power * x1 % P
+        q_polys.append(poly_acc)
+        q_blinds.append(blind_acc)
+        q_evals.append(evals)
+
+    x2 = transcript.squeeze_challenge()
+
+    f_poly: list[int] = []
+    power = 1
+    for pts, qp, qe in zip(set_order, q_polys, q_evals):
+        r = lagrange_interpolate(list(pts), [qe[p] for p in pts])
+        quotient = _poly_sub(qp, r)
+        for p in pts:
+            quotient = _poly_divide_linear(quotient, p)
+        if len(quotient) > len(f_poly):
+            f_poly = f_poly + [0] * (len(quotient) - len(f_poly))
+        for i, c in enumerate(quotient):
+            f_poly[i] = (f_poly[i] + power * c) % P
+        power = power * x2 % P
+
+    f_blind = FP.random(rng)
+    transcript.write_point(commit(params, f_poly, f_blind))
+    x3 = transcript.squeeze_challenge()
+
+    q_at_x3 = [eval_poly_coeffs(qp, x3) for qp in q_polys]
+    for v in q_at_x3:
+        transcript.write_scalar(v)
+    x4 = transcript.squeeze_challenge()
+
+    final_poly = list(f_poly) + [0] * (params.n - len(f_poly)) if len(f_poly) < params.n else list(f_poly)
+    final_blind = f_blind
+    mult = 1
+    for qp, qb in zip(q_polys, q_blinds):
+        mult = mult * x4 % P
+        for i, c in enumerate(qp):
+            final_poly[i] = (final_poly[i] + mult * c) % P
+        final_blind = (final_blind + mult * qb) % P
+
+    create_open_proof(params, transcript, final_poly, final_blind, x3, rng)
+
+
+def multiopen_verify(params: Params, transcript: TranscriptRead, queries: list[VerifierQuery]) -> bool:
+    x1 = transcript.squeeze_challenge()
+    _, by_poly, set_order, sets = _group(queries, key_fn=lambda q: q.name)
+
+    q_commit_terms = []  # per set: list of (commitment, scalar)
+    q_evals = []
+    for pts in set_order:
+        terms = []
+        evals = {p: 0 for p in pts}
+        power = 1
+        for k in sets[pts]:
+            info = by_poly[k]
+            terms.append((info["queries"][0].commitment, power))
+            ev_by_point = {q.point: q.eval for q in info["queries"]}
+            for p in pts:
+                evals[p] = (evals[p] + power * ev_by_point[p]) % P
+            power = power * x1 % P
+        q_commit_terms.append(terms)
+        q_evals.append(evals)
+
+    x2 = transcript.squeeze_challenge()
+    f_commitment = transcript.read_point()
+    x3 = transcript.squeeze_challenge()
+    q_at_x3 = [transcript.read_scalar() for _ in set_order]
+    x4 = transcript.squeeze_challenge()
+
+    # f(x3) claim from revealed q evals
+    f_claim = 0
+    power = 1
+    for pts, qe, qv in zip(set_order, q_evals, q_at_x3):
+        r = lagrange_interpolate(list(pts), [qe[p] for p in pts])
+        r_at = eval_poly_coeffs(r, x3)
+        denom = 1
+        for p in pts:
+            denom = denom * (x3 - p) % P
+        f_claim = (f_claim + power * (qv - r_at) % P * FP.inv(denom)) % P
+        power = power * x2 % P
+
+    # expected commitment and value of the final polynomial
+    pts_scalars: list[tuple[Point, int]] = [(f_commitment, 1)]
+    expected_value = f_claim
+    mult = 1
+    for terms, qv in zip(q_commit_terms, q_at_x3):
+        mult = mult * x4 % P
+        for c, s in terms:
+            pts_scalars.append((c, s * mult % P))
+        expected_value = (expected_value + mult * qv) % P
+
+    acc: Point = None
+    for c, s in pts_scalars:
+        acc = VESTA.add(acc, VESTA.mul(c, s))
+    return verify_open_proof(params, transcript, acc, x3, expected_value)

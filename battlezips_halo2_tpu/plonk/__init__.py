@@ -27,7 +27,28 @@ class Circuit:
         raise NotImplementedError
 
 
+def keygen(params, circuit):
+    from .keygen import keygen as _keygen
+
+    return _keygen(params, circuit)
+
+
+def create_proof(params, pk, circuit, instances, rng):
+    from .prover import create_proof as _create
+
+    return _create(params, pk, circuit, instances, rng)
+
+
+def verify_proof(params, vk, proof, instances):
+    from .verifier import verify_proof as _verify
+
+    return _verify(params, vk, proof, instances)
+
+
 __all__ = [
+    "keygen",
+    "create_proof",
+    "verify_proof",
     "AssignedCell",
     "Assignment",
     "Circuit",

@@ -123,7 +123,8 @@ def permutation_terms(
     last_z = chunks[-1]["z"]
     terms.append(llast * (last_z * last_z % P - last_z) % P)
     for c in range(1, len(chunks)):
-        terms.append(l0 * (chunks[c]["z"] - chunks[c - 1]["prev_last"]) % P)
+        # chunks[c]["prev_last"] holds z_{c-1}(omega^u X)
+        terms.append(l0 * (chunks[c]["z"] - chunks[c]["prev_last"]) % P)
     for chunk in chunks:
         left = chunk["z_next"]
         right = chunk["z"]

@@ -1,0 +1,476 @@
+"""The PLONK prover: full proof pipeline.
+
+Framework analog of ``halo2_proofs::plonk::create_proof``
+(SURVEY.md §3.1): witness synthesis → blinded advice commitments → lookup
+permute+product → permutation grand products (chunked) → vanishing argument
+(quotient over the extended coset) → evaluations at the challenge point →
+multiopen → final IPA argument.
+
+Compute split (SURVEY.md §3.1 "process/device boundaries"): circuit
+synthesis and protocol orchestration on host; every NTT runs batched on
+device (poly/transforms.py) and every commitment is a device MSM (ops/msm).
+Constraint evaluation over the extended coset currently uses vectorized
+exact host arithmetic (numpy object arrays); moving it onto the device gate
+evaluator is tracked perf work.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..curves.host import VESTA
+from ..fields.host import FP
+from ..pcs.ipa import Params, commit
+from ..pcs.multiopen import Query, multiopen_prove
+from ..poly.domain import eval_poly_coeffs
+from ..poly.transforms import batch_coeff_to_extended, batch_lagrange_to_coeff
+from .arguments import (
+    ProofSchedule,
+    evaluate_expression,
+    lookup_terms,
+    permutation_terms,
+    permute_lookup_inputs,
+)
+from .assignment import Assignment, Layouter
+from .circuit import ConstraintSystem
+from .expression import ColumnType
+from .keygen import ProvingKey
+from .transcript import TranscriptWrite
+
+P = FP.modulus
+
+
+def _obj_array(values: list[int]) -> np.ndarray:
+    out = np.empty(len(values), dtype=object)
+    for i, v in enumerate(values):
+        out[i] = v % P
+    return out
+
+
+def _lagrange_basis_extended(domain, rows: list[int]) -> dict[int, np.ndarray]:
+    """l_i(X) on the extended coset for the given row indices (batch-inverted)."""
+    m = P
+    ext = domain.extended_n
+    t_ext = domain.t_extended()
+    xs = []
+    acc = domain.g_coset
+    for _ in range(ext):
+        xs.append(acc)
+        acc = acc * domain.extended_omega % m
+    out = {}
+    omega = domain.omega
+    for i in rows:
+        wi = pow(omega, i, m)
+        denoms = [(domain.n * (x - wi)) % m for x in xs]
+        invs = FP.batch_inv(denoms)
+        out[i] = _obj_array([wi * t % m * inv % m for t, inv in zip(t_ext, invs)])
+    return out
+
+
+class _ExtendedCtx:
+    """Extended-coset evaluation context shared by all constraint terms."""
+
+    def __init__(self, domain, usable: int):
+        self.domain = domain
+        self.ext = domain.extended_n
+        self.rot_scale = self.ext // domain.n
+        n = domain.n
+        rows = [0, usable] + list(range(usable + 1, n))
+        basis = _lagrange_basis_extended(domain, rows)
+        self.l0 = basis[0]
+        self.llast = basis[usable]
+        blind_sum = np.zeros(self.ext, dtype=object)
+        for i in range(usable + 1, n):
+            blind_sum = (blind_sum + basis[i]) % P
+        self.lactive = (1 - (self.llast + blind_sum) % P) % P
+        xs = []
+        acc = domain.g_coset
+        for _ in range(self.ext):
+            xs.append(acc)
+            acc = acc * domain.extended_omega % P
+        self.x_coords = _obj_array(xs)
+        self.t_inv = _obj_array(FP.batch_inv(domain.t_extended()))
+
+    def rotated(self, arr: np.ndarray, rotation: int) -> np.ndarray:
+        return np.roll(arr, -rotation * self.rot_scale)
+
+
+def create_proof(
+    params: Params,
+    pk: ProvingKey,
+    circuit,
+    instances: list[list[int]],
+    rng,
+) -> bytes:
+    vk = pk.vk
+    cs: ConstraintSystem = vk.cs
+    domain = vk.domain
+    n = params.n
+    usable = cs.usable_rows(n)
+    schedule = ProofSchedule.build(cs)
+    transcript = TranscriptWrite(VESTA)
+    transcript.common_scalar(vk.digest)
+
+    # --- instance commitments (recomputed by the verifier) -----------------
+    instance_values = []
+    for ci in range(cs.num_instance):
+        vals = list(instances[ci]) if ci < len(instances) else []
+        assert len(vals) <= usable
+        instance_values.append([v % P for v in vals] + [0] * (n - len(vals)))
+    instance_polys = batch_lagrange_to_coeff(domain, instance_values) if instance_values else []
+    for poly in instance_polys:
+        transcript.common_point(commit(params, poly, 0))
+
+    # --- witness synthesis + advice commitments ---------------------------
+    assignment = Assignment(cs, n)
+    layouter = Layouter(assignment)
+    circuit.synthesize(_configure_cached(cs, circuit), layouter)
+    layouter.finalize()
+
+    advice_values = []
+    for col in assignment.advice:
+        vals = [0 if v is None else v % P for v in col]
+        for row in range(usable, n):
+            vals[row] = FP.random(rng)
+        advice_values.append(vals)
+    advice_polys = batch_lagrange_to_coeff(domain, advice_values)
+    advice_blinds = [FP.random(rng) for _ in advice_polys]
+    for poly, blind in zip(advice_polys, advice_blinds):
+        transcript.write_point(commit(params, poly, blind))
+
+    fixed_values = pk.fixed_values
+    fixed_polys = pk.fixed_polys
+
+    def lagrange_matrix(column):
+        if column.kind == ColumnType.ADVICE:
+            return _obj_array(advice_values[column.index])
+        if column.kind == ColumnType.FIXED:
+            return _obj_array(fixed_values[column.index])
+        return _obj_array(instance_values[column.index])
+
+    # --- lookups: compress + permute --------------------------------------
+    theta = transcript.squeeze_challenge()
+    lookups = []
+    for lk in cs.lookups:
+        def eval_lagrange_expr(expr):
+            return evaluate_expression(
+                cs,
+                expr,
+                cell_fn=lambda col, rot: np.roll(lagrange_matrix(col), -rot),
+                selector_as_fixed_fn=lambda idx: _obj_array(fixed_values[idx]),
+            )
+
+        a_comp = np.zeros(n, dtype=object)
+        s_comp = np.zeros(n, dtype=object)
+        for i_expr, t_expr in lk.mapping:
+            a_comp = (a_comp * theta + eval_lagrange_expr(i_expr)) % P
+            s_comp = (s_comp * theta + eval_lagrange_expr(t_expr)) % P
+        a_act = [int(v) for v in a_comp[:usable]]
+        s_act = [int(v) for v in s_comp[:usable]]
+        a_perm, s_perm = permute_lookup_inputs(a_act, s_act)
+        tail = [FP.random(rng) for _ in range(n - usable)]
+        tail2 = [FP.random(rng) for _ in range(n - usable)]
+        lookups.append(
+            {
+                "a_compressed": [int(v) for v in a_comp],
+                "s_compressed": [int(v) for v in s_comp],
+                "a_perm": a_perm + tail,
+                "s_perm": s_perm + tail2,
+            }
+        )
+    lookup_perm_polys = []
+    for lk in lookups:
+        a_poly, s_poly = batch_lagrange_to_coeff(domain, [lk["a_perm"], lk["s_perm"]])
+        a_blind, s_blind = FP.random(rng), FP.random(rng)
+        transcript.write_point(commit(params, a_poly, a_blind))
+        transcript.write_point(commit(params, s_poly, s_blind))
+        lookup_perm_polys.append((a_poly, a_blind, s_poly, s_blind))
+
+    beta = transcript.squeeze_challenge()
+    gamma = transcript.squeeze_challenge()
+
+    # --- permutation grand products (chunked) -----------------------------
+    perm = vk.permutation
+    chunk_len = schedule.chunk_len
+    chunk_cols = [perm.columns[i : i + chunk_len] for i in range(0, len(perm.columns), chunk_len)]
+    chunk_sigmas = [perm.sigmas[i : i + chunk_len] for i in range(0, len(perm.sigmas), chunk_len)]
+    from .keygen import DELTA
+
+    omega = domain.omega
+    perm_z_values = []
+    carry = 1  # chunks chain multiplicatively
+    for cols, sigmas in zip(chunk_cols, chunk_sigmas):
+        col_offsets = [perm.columns.index(c) for c in cols]
+        nums, dens = [1] * usable, [1] * usable
+        w_pow = 1
+        for i in range(usable):
+            for c_idx, col in enumerate(cols):
+                v = _col_value(col, i, advice_values, fixed_values, instance_values)
+                j = col_offsets[c_idx]
+                nums[i] = nums[i] * ((v + beta * pow(DELTA, j, P) % P * w_pow + gamma) % P) % P
+                dens[i] = dens[i] * ((v + beta * sigmas[c_idx][i] + gamma) % P) % P
+            w_pow = w_pow * omega % P
+        den_inv = FP.batch_inv(dens)
+        z = [0] * n
+        z[0] = carry
+        acc = carry
+        for i in range(usable):
+            acc = acc * nums[i] % P * den_inv[i] % P
+            if i + 1 <= usable:
+                z[i + 1] = acc
+        carry = z[usable]
+        for row in range(usable + 1, n):
+            z[row] = FP.random(rng)
+        perm_z_values.append(z)
+    perm_z_polys = batch_lagrange_to_coeff(domain, perm_z_values) if perm_z_values else []
+    perm_z_blinds = [FP.random(rng) for _ in perm_z_polys]
+    for poly, blind in zip(perm_z_polys, perm_z_blinds):
+        transcript.write_point(commit(params, poly, blind))
+
+    # --- lookup grand products --------------------------------------------
+    lookup_z_polys = []
+    for lk in lookups:
+        nums, dens = [1] * usable, [1] * usable
+        for i in range(usable):
+            nums[i] = (lk["a_compressed"][i] + beta) % P * ((lk["s_compressed"][i] + gamma) % P) % P
+            dens[i] = (lk["a_perm"][i] + beta) % P * ((lk["s_perm"][i] + gamma) % P) % P
+        den_inv = FP.batch_inv(dens)
+        z = [0] * n
+        z[0] = 1
+        acc = 1
+        for i in range(usable):
+            acc = acc * nums[i] % P * den_inv[i] % P
+            z[i + 1] = acc
+        for row in range(usable + 1, n):
+            z[row] = FP.random(rng)
+        lk["z_values"] = z
+        z_poly = batch_lagrange_to_coeff(domain, [z])[0]
+        z_blind = FP.random(rng)
+        transcript.write_point(commit(params, z_poly, z_blind))
+        lookup_z_polys.append((z_poly, z_blind))
+
+    # --- vanishing argument ------------------------------------------------
+    random_poly = [FP.random(rng) for _ in range(n)]
+    random_blind = FP.random(rng)
+    transcript.write_point(commit(params, random_poly, random_blind))
+    y = transcript.squeeze_challenge()
+
+    # --- quotient over the extended coset ----------------------------------
+    ctx = _ExtendedCtx(domain, usable)
+
+    to_extend: list[list[int]] = []
+    ext_index: dict = {}
+
+    def register(key, poly):
+        if key not in ext_index:
+            ext_index[key] = len(to_extend)
+            to_extend.append(poly)
+
+    for i, poly in enumerate(advice_polys):
+        register(("advice", i), poly)
+    for i, poly in enumerate(fixed_polys):
+        register(("fixed", i), poly)
+    for i, poly in enumerate(instance_polys):
+        register(("instance", i), poly)
+    for i, poly in enumerate(perm_z_polys):
+        register(("perm_z", i), poly)
+    for i, poly in enumerate(perm.sigma_polys):
+        register(("sigma", i), poly)
+    for i, (a_poly, _, s_poly, _) in enumerate(lookup_perm_polys):
+        register(("lk_a", i), a_poly)
+        register(("lk_s", i), s_poly)
+    for i, (z_poly, _) in enumerate(lookup_z_polys):
+        register(("lk_z", i), z_poly)
+
+    extended = batch_coeff_to_extended(domain, to_extend)
+    ext_arrays = {key: _obj_array(extended[idx]) for key, idx in ext_index.items()}
+
+    def ext_cell(column, rot):
+        if column.kind == ColumnType.ADVICE:
+            return ctx.rotated(ext_arrays[("advice", column.index)], rot)
+        if column.kind == ColumnType.FIXED:
+            return ctx.rotated(ext_arrays[("fixed", column.index)], rot)
+        return ctx.rotated(ext_arrays[("instance", column.index)], rot)
+
+    terms = []
+    for gate in cs.gates:
+        for _, poly in gate.constraints:
+            terms.append(
+                evaluate_expression(
+                    cs,
+                    poly,
+                    cell_fn=ext_cell,
+                    selector_as_fixed_fn=lambda idx: ext_arrays[("fixed", idx)],
+                )
+            )
+
+    # permutation terms
+    chunks_data = []
+    for c, (cols, sigmas) in enumerate(zip(chunk_cols, chunk_sigmas)):
+        entry = {
+            "z": ext_arrays[("perm_z", c)],
+            "z_next": ctx.rotated(ext_arrays[("perm_z", c)], 1),
+            "prev_last": ctx.rotated(ext_arrays[("perm_z", c - 1)], usable) if c > 0 else None,
+            "cols": [],
+        }
+        for c_idx, col in enumerate(cols):
+            j = perm.columns.index(col)
+            key = (col.kind.value, col.index)
+            if col.kind == ColumnType.ADVICE:
+                v = ext_arrays[("advice", col.index)]
+            elif col.kind == ColumnType.FIXED:
+                v = ext_arrays[("fixed", col.index)]
+            else:
+                v = ext_arrays[("instance", col.index)]
+            entry["cols"].append((v, ext_arrays[("sigma", j)], j))
+        chunks_data.append(entry)
+    if chunks_data:
+        terms += permutation_terms(chunks_data, ctx.l0, ctx.llast, ctx.lactive, beta, gamma, ctx.x_coords)
+
+    # lookup terms: compressed expressions evaluated over the extended coset
+    for li, lk_def in enumerate(cs.lookups):
+        a_comp_ext = np.zeros(ctx.ext, dtype=object)
+        s_comp_ext = np.zeros(ctx.ext, dtype=object)
+        for i_expr, t_expr in lk_def.mapping:
+            a_comp_ext = (
+                a_comp_ext * theta
+                + evaluate_expression(
+                    cs, i_expr, cell_fn=ext_cell, selector_as_fixed_fn=lambda idx: ext_arrays[("fixed", idx)]
+                )
+            ) % P
+            s_comp_ext = (
+                s_comp_ext * theta
+                + evaluate_expression(
+                    cs, t_expr, cell_fn=ext_cell, selector_as_fixed_fn=lambda idx: ext_arrays[("fixed", idx)]
+                )
+            ) % P
+        lk_data = {
+            "z": ext_arrays[("lk_z", li)],
+            "z_next": ctx.rotated(ext_arrays[("lk_z", li)], 1),
+            "a_compressed": a_comp_ext,
+            "s_compressed": s_comp_ext,
+            "a_perm": ext_arrays[("lk_a", li)],
+            "a_perm_prev": ctx.rotated(ext_arrays[("lk_a", li)], -1),
+            "s_perm": ext_arrays[("lk_s", li)],
+        }
+        terms += lookup_terms(lk_data, ctx.l0, ctx.llast, ctx.lactive, beta, gamma)
+
+    agg = np.zeros(ctx.ext, dtype=object)
+    for term in terms:
+        agg = (agg * y + term) % P
+    h_ext = agg * ctx.t_inv % P
+
+    from ..poly.transforms import batch_extended_to_coeff
+
+    h_coeffs = batch_extended_to_coeff(domain, [[int(v) for v in h_ext]])[0]
+    num_pieces = ctx.ext // n
+    h_pieces = [h_coeffs[i * n : (i + 1) * n] for i in range(num_pieces)]
+    h_blinds = [FP.random(rng) for _ in h_pieces]
+    for piece, blind in zip(h_pieces, h_blinds):
+        transcript.write_point(commit(params, piece, blind))
+
+    x = transcript.squeeze_challenge()
+
+    # --- evaluations --------------------------------------------------------
+    def rot_point(rot):
+        return domain.rotate_point(x, rot)
+
+    advice_evals = {}
+    for col, rot in schedule.advice_queries:
+        advice_evals[(col, rot)] = eval_poly_coeffs(advice_polys[col], rot_point(rot))
+        transcript.write_scalar(advice_evals[(col, rot)])
+    fixed_evals = {}
+    for col, rot in schedule.fixed_queries:
+        fixed_evals[(col, rot)] = eval_poly_coeffs(fixed_polys[col], rot_point(rot))
+        transcript.write_scalar(fixed_evals[(col, rot)])
+
+    random_eval = eval_poly_coeffs(random_poly, x)
+    transcript.write_scalar(random_eval)
+    h_evals = [eval_poly_coeffs(piece, x) for piece in h_pieces]
+    for ev in h_evals:
+        transcript.write_scalar(ev)
+
+    sigma_evals = [eval_poly_coeffs(p, x) for p in perm.sigma_polys]
+    for ev in sigma_evals:
+        transcript.write_scalar(ev)
+    x_next = rot_point(1)
+    x_last_rot = domain.rotate_point(x, usable)
+    perm_z_evals = []
+    for c, poly in enumerate(perm_z_polys):
+        z_x = eval_poly_coeffs(poly, x)
+        z_wx = eval_poly_coeffs(poly, x_next)
+        transcript.write_scalar(z_x)
+        transcript.write_scalar(z_wx)
+        entry = {"z": z_x, "z_next": z_wx}
+        if c < len(perm_z_polys) - 1:
+            last_ev = eval_poly_coeffs(poly, x_last_rot)
+            transcript.write_scalar(last_ev)
+            entry["last"] = last_ev
+        perm_z_evals.append(entry)
+
+    x_prev = rot_point(-1)
+    lookup_evals = []
+    for (z_poly, _), (a_poly, _, s_poly, _) in zip(lookup_z_polys, lookup_perm_polys):
+        ev = {
+            "z": eval_poly_coeffs(z_poly, x),
+            "z_next": eval_poly_coeffs(z_poly, x_next),
+            "a_perm": eval_poly_coeffs(a_poly, x),
+            "a_perm_prev": eval_poly_coeffs(a_poly, x_prev),
+            "s_perm": eval_poly_coeffs(s_poly, x),
+        }
+        for key in ("z", "z_next", "a_perm", "a_perm_prev", "s_perm"):
+            transcript.write_scalar(ev[key])
+        lookup_evals.append(ev)
+
+    # --- multiopen + IPA ----------------------------------------------------
+    queries: list[Query] = []
+    for col, rot in schedule.advice_queries:
+        queries.append(Query(advice_polys[col], advice_blinds[col], rot_point(rot), advice_evals[(col, rot)]))
+    for col, rot in schedule.fixed_queries:
+        queries.append(Query(fixed_polys[col], 0, rot_point(rot), fixed_evals[(col, rot)]))
+    for ci, poly in enumerate(instance_polys):
+        queries.append(Query(poly, 0, x, eval_poly_coeffs(poly, x)))
+    queries.append(Query(random_poly, random_blind, x, random_eval))
+    for piece, blind, ev in zip(h_pieces, h_blinds, h_evals):
+        queries.append(Query(piece, blind, x, ev))
+    for j, poly in enumerate(perm.sigma_polys):
+        queries.append(Query(poly, 0, x, sigma_evals[j]))
+    for c, poly in enumerate(perm_z_polys):
+        queries.append(Query(poly, perm_z_blinds[c], x, perm_z_evals[c]["z"]))
+        queries.append(Query(poly, perm_z_blinds[c], x_next, perm_z_evals[c]["z_next"]))
+        if c < len(perm_z_polys) - 1:
+            queries.append(Query(poly, perm_z_blinds[c], x_last_rot, perm_z_evals[c]["last"]))
+    for (z_poly, z_blind), (a_poly, a_blind, s_poly, s_blind), ev in zip(
+        lookup_z_polys, lookup_perm_polys, lookup_evals
+    ):
+        queries.append(Query(z_poly, z_blind, x, ev["z"]))
+        queries.append(Query(z_poly, z_blind, x_next, ev["z_next"]))
+        queries.append(Query(a_poly, a_blind, x, ev["a_perm"]))
+        queries.append(Query(a_poly, a_blind, x_prev, ev["a_perm_prev"]))
+        queries.append(Query(s_poly, s_blind, x, ev["s_perm"]))
+
+    multiopen_prove(params, transcript, queries, rng)
+    return transcript.finalize()
+
+
+def _col_value(col, row, advice_values, fixed_values, instance_values):
+    if col.kind == ColumnType.ADVICE:
+        return advice_values[col.index][row]
+    if col.kind == ColumnType.FIXED:
+        return fixed_values[col.index][row]
+    return instance_values[col.index][row]
+
+
+_config_cache: dict = {}
+
+
+def _configure_cached(cs: ConstraintSystem, circuit):
+    """The prover must synthesize against the SAME ConstraintSystem the pk
+    was built with; re-run configure on a throwaway CS to get a config object
+    bound to equivalent columns (deterministic configure makes them match)."""
+    key = (id(cs), type(circuit))
+    if key not in _config_cache:
+        probe = ConstraintSystem()
+        config = type(circuit).configure(probe)
+        _config_cache[key] = config
+    return _config_cache[key]
