@@ -23,6 +23,7 @@ from __future__ import annotations
 import functools
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -209,18 +210,27 @@ def _split_products(a, b):
     return jnp.concatenate([lo.reshape(flat), hi.reshape(flat)], axis=-1)
 
 
+def _exact_matmul(x, m):
+    """f32 matmul that is bit-exact for our <2^22 integer lanes.
+
+    TPU MXU demotes f32 inputs to bf16 by default (8-bit mantissa — silently
+    truncates 16-bit limb halves); Precision.HIGHEST forces the 6-pass bf16
+    decomposition that reproduces exact f32 arithmetic."""
+    return jnp.matmul(x, m, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+
+
 def _mul_lanes(a, b):
     """Full 16x16 schoolbook product as (..., 34) unnormalized uint32 lanes
     (each lane < 2^21): one u32 multiply + one f32 matmul."""
     full, _ = _conv_mats()
-    t = jnp.matmul(_split_products(a, b), jnp.asarray(full), preferred_element_type=jnp.float32)
+    t = _exact_matmul(_split_products(a, b), jnp.asarray(full))
     return t.astype(U32)
 
 
 def _mul_low16(a, b):
     """Low 16 limbs of a*b mod 2^256, canonical."""
     _, low = _conv_mats()
-    t = jnp.matmul(_split_products(a, b), jnp.asarray(low), preferred_element_type=jnp.float32).astype(U32)
+    t = _exact_matmul(_split_products(a, b), jnp.asarray(low)).astype(U32)
     # carry-propagate 16 lanes, dropping the final carry (mod 2^256)
     out = []
     carry = jnp.zeros_like(t[..., 0])

@@ -1,0 +1,79 @@
+"""Multi-chip MSM: points partitioned per chip, partial sums combined over
+the mesh.
+
+TP-style sharding of the north-star kernel (SURVEY.md §2.3): each device
+runs the full local Pippenger pipeline (ops/msm.py) over its contiguous
+point/scalar shard; the per-device Jacobian partials are all_gathered and
+folded with ~log(D) point additions. Communication: one all_gather of a
+single point per device — O(D) bytes, negligible vs compute, so scaling
+efficiency is compute-bound.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..curves.host import Curve
+from ..curves.limb import JacobianPoint, affine_to_jacobian_host, jacobian_to_affine_host, point_add
+from ..fields.limb import FieldSpec
+from ..ops.msm import WINDOW_BITS, _msm_device, scalars_to_digits
+from .collectives import AXIS
+
+
+@functools.lru_cache(maxsize=None)
+def _compiled_sharded_msm(modulus: int, n_local: int, c: int, n_windows: int, mesh_key):
+    spec = FieldSpec.make(modulus)
+    mesh = _MESHES[mesh_key]
+
+    def local_fn(qx, qy, qinf, digits):
+        partial = _msm_device(spec, qx, qy, qinf, digits, c)
+        gathered = jax.lax.all_gather(partial, AXIS)  # JacobianPoint of (D, 16) leaves
+        d = gathered.x.shape[0]
+        acc = JacobianPoint(gathered.x[0], gathered.y[0], gathered.z[0])
+        for i in range(1, d):
+            acc = point_add(spec, acc, JacobianPoint(gathered.x[i], gathered.y[i], gathered.z[i]))
+        return acc
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(None, AXIS)),
+        out_specs=JacobianPoint(P(), P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(fn)
+
+
+_MESHES: dict = {}
+
+
+def sharded_msm(curve: Curve, points, scalars, mesh, c: int = WINDOW_BITS):
+    """MSM sharded over a 1-D mesh; bit-exact vs the single-device kernel."""
+    assert len(points) == len(scalars)
+    d = mesh.devices.size
+    # pad so the shard divides evenly (power-of-two total, like ops.msm)
+    target = max(64 * d, 1 << (len(points) - 1).bit_length())
+    if target % d:
+        target *= 2
+    if len(points) < target:
+        pad = target - len(points)
+        points = list(points) + [curve.generator] * pad
+        scalars = list(scalars) + [0] * pad
+
+    spec = FieldSpec.make(curve.base.modulus)
+    jac = affine_to_jacobian_host(spec, points)
+    qinf = jnp.asarray(np.array([p is None for p in points], dtype=bool))
+    digits = jnp.asarray(scalars_to_digits([s % curve.scalar.modulus for s in scalars], c))
+
+    mesh_key = tuple(str(dev) for dev in mesh.devices.flat)
+    _MESHES[mesh_key] = mesh
+    f = _compiled_sharded_msm(curve.base.modulus, len(points) // d, c, digits.shape[0], mesh_key)
+    out = f(jac.x, jac.y, qinf, digits)
+    res = jacobian_to_affine_host(spec, JacobianPoint(out.x[None], out.y[None], out.z[None]))
+    return res[0]

@@ -159,11 +159,13 @@ def keygen(params: Params, circuit) -> ProvingKey:
     for sel in assignment.selectors:
         fixed_values.append([1 if b else 0 for b in sel])
 
-    fixed_polys = [domain.lagrange_to_coeff(v) for v in fixed_values]
+    from ..poly.transforms import batch_lagrange_to_coeff
+
+    fixed_polys = batch_lagrange_to_coeff(domain, fixed_values)
     fixed_commitments = [commit(params, p, 0) for p in fixed_polys]
 
     columns, sigmas = build_permutation(cs, assignment, n)
-    sigma_polys = [domain.lagrange_to_coeff(s) for s in sigmas]
+    sigma_polys = batch_lagrange_to_coeff(domain, sigmas)
     sigma_commitments = [commit(params, p, 0) for p in sigma_polys]
 
     vk = VerifyingKey(

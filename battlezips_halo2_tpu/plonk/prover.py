@@ -16,7 +16,28 @@ evaluator is tracked perf work.
 
 from __future__ import annotations
 
+import os
+import time
+
 import numpy as np
+
+_TRACE = os.environ.get("BZ_TPU_TRACE", "") not in ("", "0")
+
+
+class _Phase:
+    """Span logger for the prover pipeline (SURVEY.md §5.1: per-phase
+    commit/NTT/open timers; enable with BZ_TPU_TRACE=1)."""
+
+    def __init__(self):
+        self.t = time.time()
+
+    def mark(self, name: str):
+        if _TRACE:
+            now = time.time()
+            print(f"[prover] {name}: {now - self.t:.2f}s", flush=True)
+            self.t = now
+        else:
+            self.t = time.time()
 
 from ..curves.host import VESTA
 from ..fields.host import FP
@@ -108,6 +129,7 @@ def create_proof(
     n = params.n
     usable = cs.usable_rows(n)
     schedule = ProofSchedule.build(cs)
+    phase = _Phase()
     transcript = TranscriptWrite(VESTA)
     transcript.common_scalar(vk.digest)
 
@@ -121,6 +143,7 @@ def create_proof(
     for poly in instance_polys:
         transcript.common_point(commit(params, poly, 0))
 
+    phase.mark("instance")
     # --- witness synthesis + advice commitments ---------------------------
     assignment = Assignment(cs, n)
     layouter = Layouter(assignment)
@@ -138,6 +161,7 @@ def create_proof(
     for poly, blind in zip(advice_polys, advice_blinds):
         transcript.write_point(commit(params, poly, blind))
 
+    phase.mark("advice synth+commit")
     fixed_values = pk.fixed_values
     fixed_polys = pk.fixed_polys
 
@@ -186,6 +210,7 @@ def create_proof(
         transcript.write_point(commit(params, s_poly, s_blind))
         lookup_perm_polys.append((a_poly, a_blind, s_poly, s_blind))
 
+    phase.mark("lookups permute+commit")
     beta = transcript.squeeze_challenge()
     gamma = transcript.squeeze_challenge()
 
@@ -227,6 +252,7 @@ def create_proof(
     for poly, blind in zip(perm_z_polys, perm_z_blinds):
         transcript.write_point(commit(params, poly, blind))
 
+    phase.mark("permutation z")
     # --- lookup grand products --------------------------------------------
     lookup_z_polys = []
     for lk in lookups:
@@ -249,6 +275,7 @@ def create_proof(
         transcript.write_point(commit(params, z_poly, z_blind))
         lookup_z_polys.append((z_poly, z_blind))
 
+    phase.mark("lookup z")
     # --- vanishing argument ------------------------------------------------
     random_poly = [FP.random(rng) for _ in range(n)]
     random_blind = FP.random(rng)
@@ -257,6 +284,7 @@ def create_proof(
 
     # --- quotient over the extended coset ----------------------------------
     ctx = _ExtendedCtx(domain, usable)
+    phase.mark("extended ctx (lagrange basis)")
 
     to_extend: list[list[int]] = []
     ext_index: dict = {}
@@ -282,8 +310,10 @@ def create_proof(
     for i, (z_poly, _) in enumerate(lookup_z_polys):
         register(("lk_z", i), z_poly)
 
+    phase.mark("gather polys")
     extended = batch_coeff_to_extended(domain, to_extend)
     ext_arrays = {key: _obj_array(extended[idx]) for key, idx in ext_index.items()}
+    phase.mark("extended NTTs")
 
     def ext_cell(column, rot):
         if column.kind == ColumnType.ADVICE:
@@ -355,11 +385,13 @@ def create_proof(
         }
         terms += lookup_terms(lk_data, ctx.l0, ctx.llast, ctx.lactive, beta, gamma)
 
+    phase.mark("constraint terms")
     agg = np.zeros(ctx.ext, dtype=object)
     for term in terms:
         agg = (agg * y + term) % P
     h_ext = agg * ctx.t_inv % P
 
+    phase.mark("y-fold + divide")
     from ..poly.transforms import batch_extended_to_coeff
 
     h_coeffs = batch_extended_to_coeff(domain, [[int(v) for v in h_ext]])[0]
@@ -369,6 +401,7 @@ def create_proof(
     for piece, blind in zip(h_pieces, h_blinds):
         transcript.write_point(commit(params, piece, blind))
 
+    phase.mark("h commit")
     x = transcript.squeeze_challenge()
 
     # --- evaluations --------------------------------------------------------
@@ -422,6 +455,7 @@ def create_proof(
             transcript.write_scalar(ev[key])
         lookup_evals.append(ev)
 
+    phase.mark("evaluations")
     # --- multiopen + IPA ----------------------------------------------------
     queries: list[Query] = []
     for col, rot in schedule.advice_queries:
@@ -449,7 +483,9 @@ def create_proof(
         queries.append(Query(a_poly, a_blind, x_prev, ev["a_perm_prev"]))
         queries.append(Query(s_poly, s_blind, x, ev["s_perm"]))
 
+    phase.mark("query build")
     multiopen_prove(params, transcript, queries, rng)
+    phase.mark("multiopen+ipa")
     return transcript.finalize()
 
 

@@ -1,0 +1,179 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+North-star metric (BASELINE.md): MSM points/sec/chip on 2^18 Pallas points.
+The reference publishes no numbers (BASELINE.json `published: {}`); the
+documented anchor REF_CPU_MSM_PPS approximates a multicore Rust halo2 CPU
+prover's MSM throughput, so vs_baseline ~ 1.0 means CPU parity and the
+target is >= 10.
+
+Usage: python bench.py [--log-size N] [--iters K] [--metric msm|ntt|shot-proof]
+"""
+
+import argparse
+import json
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+REF_CPU_MSM_PPS = 1_000_000  # documented anchor: order-of-magnitude halo2 CPU MSM points/s
+REF_CPU_NTT_EPS = 10_000_000  # anchor: CPU NTT butterflies-elements/s
+REF_CPU_SHOT_PROOF_S = 1.0  # anchor: rust shot prover ~1s order of magnitude
+
+
+def bench_msm(log_size: int, iters: int):
+    import numpy as np
+
+    from battlezips_halo2_tpu.curves import VESTA
+    from battlezips_halo2_tpu.curves.limb import (
+        JacobianPoint,
+        affine_to_jacobian_host,
+        jacobian_to_affine_host,
+    )
+    from battlezips_halo2_tpu.fields.limb import FieldSpec
+    from battlezips_halo2_tpu.ops import msm as M
+
+    n = 1 << log_size
+    rng = random.Random(7)
+    # random affine points: multiples of G with random small scalars (setup
+    # cost only; correctness is covered by the test suite)
+    base_pts = [VESTA.mul(VESTA.generator, rng.randrange(1, 1 << 40)) for _ in range(256)]
+    points = [base_pts[i % 256] for i in range(n)]
+    scalars = [rng.randrange(VESTA.scalar.modulus) for _ in range(n)]
+
+    spec = FieldSpec.make(VESTA.base.modulus)
+    jac = affine_to_jacobian_host(spec, points)
+    qinf = jax.numpy.asarray(np.zeros(n, dtype=bool))
+    # several scalar sets: identical dispatches can be memoized by the
+    # remote-execution relay, so every timed call gets fresh inputs
+    variants = []
+    for v in range(max(2, iters)):
+        vs = [rng.randrange(VESTA.scalar.modulus) for _ in range(n)]
+        variants.append((vs, jax.numpy.asarray(M.scalars_to_digits(vs))))
+    f = M._compiled_msm(VESTA.base.modulus, n, M.WINDOW_BITS, variants[0][1].shape[0])
+
+    t0 = time.time()
+    out = f(jac.x, jac.y, qinf, variants[0][1])
+    jax.block_until_ready(out)
+    compile_and_first = time.time() - t0
+
+    # correctness gate: points repeat every 256, so the expected result is a
+    # 256-point host Pippenger over collapsed scalars — exact at any n
+    got = jacobian_to_affine_host(spec, JacobianPoint(out.x[None], out.y[None], out.z[None]))[0]
+    collapsed = [0] * 256
+    for i, s in enumerate(variants[0][0]):
+        collapsed[i % 256] = (collapsed[i % 256] + s) % VESTA.scalar.modulus
+    assert got == VESTA.pippenger(base_pts, collapsed), "device MSM mismatch vs host reference"
+
+    times = []
+    for i in range(iters):
+        _, digits = variants[(i + 1) % len(variants)]
+        t0 = time.time()
+        out = f(jac.x, jac.y, qinf, digits)
+        jax.block_until_ready(out)
+        times.append(time.time() - t0)
+    elapsed = sum(times) / len(times)
+    pps = n / elapsed
+    return {
+        "metric": f"msm_points_per_sec_2^{log_size}",
+        "value": round(pps, 1),
+        "unit": "points/s/chip",
+        "vs_baseline": round(pps / REF_CPU_MSM_PPS, 3),
+        "detail": {"seconds_per_msm": round(elapsed, 4), "first_call_s": round(compile_and_first, 1), "backend": jax.default_backend()},
+    }
+
+
+def bench_ntt(log_size: int, iters: int):
+    from battlezips_halo2_tpu.fields import FP, FP_SPEC, ints_to_limbs
+    from battlezips_halo2_tpu.fields import limb as L
+    from battlezips_halo2_tpu.ops import ntt as D
+    from battlezips_halo2_tpu.poly.domain import EvaluationDomain
+
+    n = 1 << log_size
+    dom = EvaluationDomain(log_size, 2)
+    rng = random.Random(3)
+    vals = [rng.randrange(FP.modulus) for _ in range(n)]
+    a = L.to_mont(FP_SPEC, ints_to_limbs(vals))
+    plan = D.plan_for(FP.modulus, n, dom.omega)
+    f = jax.jit(lambda x: D.ntt(plan, x))
+    variants = [a]
+    for _ in range(max(1, iters - 1)):
+        vv = [rng.randrange(FP.modulus) for _ in range(n)]
+        variants.append(L.to_mont(FP_SPEC, ints_to_limbs(vv)))
+    out = f(a)
+    jax.block_until_ready(out)
+    # correctness gate on a small prefix domain
+    from battlezips_halo2_tpu.poly.domain import ntt_host
+    from battlezips_halo2_tpu.fields import limbs_to_ints
+    import numpy as _np
+    got = limbs_to_ints(_np.asarray(L.from_mont(FP_SPEC, out)))
+    assert got == ntt_host(vals, dom.omega), "device NTT mismatch vs host"
+    times = []
+    for i in range(iters):
+        t0 = time.time()
+        out = f(variants[i % len(variants)])
+        jax.block_until_ready(out)
+        times.append(time.time() - t0)
+    elapsed = sum(times) / len(times)
+    eps = n / elapsed
+    return {
+        "metric": f"ntt_elements_per_sec_2^{log_size}",
+        "value": round(eps, 1),
+        "unit": "elements/s/chip",
+        "vs_baseline": round(eps / REF_CPU_NTT_EPS, 3),
+        "detail": {"seconds_per_ntt": round(elapsed, 5), "backend": jax.default_backend()},
+    }
+
+
+def bench_shot_proof(iters: int):
+    from battlezips_halo2_tpu.circuits import ShotCircuit
+    from battlezips_halo2_tpu.pcs.ipa import cached_params
+    from battlezips_halo2_tpu.plonk import create_proof, keygen, verify_proof
+    from battlezips_halo2_tpu.utils import BinaryValue, Board, Deck, serialize
+
+    board = Board.from_deck(
+        Deck.from_placements([(3, 3, True), (5, 4, False), (0, 1, False), (0, 5, True), (6, 1, False)])
+    )
+    circuit = ShotCircuit(board.state(), 0xBEEF, serialize([3], [3]), BinaryValue(1))
+    params = cached_params(11)
+    pk = keygen(params, circuit)
+    rng = random.Random(1)
+    t0 = time.time()
+    for _ in range(iters):
+        proof = create_proof(params, pk, circuit, [circuit.public_instance()], rng)
+    elapsed = (time.time() - t0) / iters
+    assert verify_proof(params, pk.vk, proof, [circuit.public_instance()])
+    return {
+        "metric": "shot_proof_seconds",
+        "value": round(elapsed, 2),
+        "unit": "s/proof",
+        "vs_baseline": round(REF_CPU_SHOT_PROOF_S / elapsed, 4),
+        "detail": {"k": 11, "backend": jax.default_backend()},
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--metric", default="msm", choices=["msm", "ntt", "shot-proof"])
+    ap.add_argument("--log-size", type=int, default=18)
+    ap.add_argument("--iters", type=int, default=3)
+    args = ap.parse_args()
+    if args.metric == "msm":
+        result = bench_msm(args.log_size, args.iters)
+    elif args.metric == "ntt":
+        result = bench_ntt(args.log_size, args.iters)
+    else:
+        result = bench_shot_proof(max(1, args.iters))
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
