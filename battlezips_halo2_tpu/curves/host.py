@@ -103,7 +103,16 @@ class Curve:
         return acc
 
     def pippenger(self, points, scalars, c: int = 8) -> Point:
-        """Host Pippenger — the fast exact CPU path for small/medium n."""
+        """Host Pippenger — the fast exact CPU path for small/medium n.
+        Dispatches to the native C++ kernel when available."""
+        if len(points) >= 32:
+            from .. import native
+
+            if native.available():
+                # `which` selects the COORDINATE field: Pallas x/y live in Fp,
+                # Vesta x/y in Fq
+                which = native.FIELD_FP if self.name == "pallas" else native.FIELD_FQ
+                return native.msm(which, points, [s % self.scalar.modulus for s in scalars])
         n_windows = (256 + c - 1) // c
         mask = (1 << c) - 1
         acc: Point = None

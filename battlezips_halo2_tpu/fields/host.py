@@ -74,8 +74,17 @@ class Field:
         return pow(a, -1, self.modulus)
 
     def batch_inv(self, xs: list[int]) -> list[int]:
-        """Montgomery's batch-inversion trick: one inversion for N elements."""
+        """Montgomery's batch-inversion trick: one inversion for N elements.
+        Uses the native (C++) kernel when available."""
         n = len(xs)
+        if n >= 64 and self.modulus in (P_PALLAS, Q_VESTA):
+            from .. import native
+
+            if native.available():
+                if any(x % self.modulus == 0 for x in xs):
+                    raise ZeroDivisionError("inversion of zero field element")
+                which = native.FIELD_FP if self.modulus == P_PALLAS else native.FIELD_FQ
+                return native.inv_batch(which, [x % self.modulus for x in xs])
         prefix = [1] * (n + 1)
         for i, x in enumerate(xs):
             if x % self.modulus == 0:

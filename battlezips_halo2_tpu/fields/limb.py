@@ -181,47 +181,49 @@ def neg(spec: FieldSpec, a):
     return sub(spec, zero, a)
 
 
-_CONV_MAT = None  # built lazily: (512, 34) f32 and (512, 16) f32
+_CONV_MAT = None  # built lazily: (1024, 34) bf16 and (1024, 16) bf16
 
 
 def _conv_mats():
+    """Accumulation matrices for the 8-bit-chunk MXU formulation.
+
+    Each limb product (u32) is split into four 8-bit chunks c0..c3; chunk k
+    contributes c_k * 2^(8k) at lane i+j, i.e. weight 1 or 256 at lane i+j
+    (c0, c1) or i+j+1 (c2, c3). Chunks (< 256) and weights ({1, 256}) are
+    exact in bf16 and lane sums (< 2^22) are exact in the MXU's f32
+    accumulator — ONE native bf16 MXU pass, no precision workarounds."""
     global _CONV_MAT
     if _CONV_MAT is None:
-        full = np.concatenate(
-            [_CONV_LO.reshape(NLIMBS * NLIMBS, -1), _CONV_HI.reshape(NLIMBS * NLIMBS, -1)]
-        ).astype(np.float32)
-        low = np.concatenate(
-            [_CONV_LO16.reshape(NLIMBS * NLIMBS, -1), _CONV_HI16.reshape(NLIMBS * NLIMBS, -1)]
-        ).astype(np.float32)
-        _CONV_MAT = (full, low)
+
+        def build(lo_t, hi_t):
+            lo = lo_t.reshape(NLIMBS * NLIMBS, -1).astype(np.float32)
+            hi = hi_t.reshape(NLIMBS * NLIMBS, -1).astype(np.float32)
+            return np.concatenate([lo, 256.0 * lo, hi, 256.0 * hi]).astype(jnp.bfloat16)
+
+        _CONV_MAT = (build(_CONV_LO, _CONV_HI), build(_CONV_LO16, _CONV_HI16))
     return _CONV_MAT
 
 
 def _split_products(a, b):
-    """(..., 512) f32 vector of lo|hi 16-bit halves of all limb products.
-
-    Limb products are exact in uint32 ((2^16-1)^2 < 2^32); the 16-bit halves
-    and their anti-diagonal sums (< 2^22) are exact in float32 — which turns
-    the schoolbook accumulation into a single f32 matmul (MXU on TPU)."""
+    """(..., 1024) bf16 vector of the four 8-bit chunks of all limb products
+    (ordering matches _conv_mats: [c0 | c1 | c2 | c3])."""
     prod = a.astype(U32)[..., :, None] * b.astype(U32)[..., None, :]
-    lo = (prod & MASK).astype(jnp.float32)
-    hi = (prod >> LIMB_BITS).astype(jnp.float32)
     flat = prod.shape[:-2] + (NLIMBS * NLIMBS,)
-    return jnp.concatenate([lo.reshape(flat), hi.reshape(flat)], axis=-1)
+    c0 = (prod & 0xFF).reshape(flat)
+    c1 = ((prod >> 8) & 0xFF).reshape(flat)
+    c2 = ((prod >> 16) & 0xFF).reshape(flat)
+    c3 = (prod >> 24).reshape(flat)
+    return jnp.concatenate([c0, c1, c2, c3], axis=-1).astype(jnp.bfloat16)
 
 
 def _exact_matmul(x, m):
-    """f32 matmul that is bit-exact for our <2^22 integer lanes.
-
-    TPU MXU demotes f32 inputs to bf16 by default (8-bit mantissa — silently
-    truncates 16-bit limb halves); Precision.HIGHEST forces the 6-pass bf16
-    decomposition that reproduces exact f32 arithmetic."""
-    return jnp.matmul(x, m, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    """bf16 x bf16 -> f32 matmul; exact for 8-bit chunk inputs."""
+    return jnp.matmul(x, m, preferred_element_type=jnp.float32)
 
 
 def _mul_lanes(a, b):
     """Full 16x16 schoolbook product as (..., 34) unnormalized uint32 lanes
-    (each lane < 2^21): one u32 multiply + one f32 matmul."""
+    (each lane < 2^22): one u32 multiply + one bf16 MXU matmul."""
     full, _ = _conv_mats()
     t = _exact_matmul(_split_products(a, b), jnp.asarray(full))
     return t.astype(U32)

@@ -44,6 +44,10 @@ SCALAR_BITS = 256
 def scalars_to_digits(scalars, c: int = WINDOW_BITS) -> np.ndarray:
     """(num_windows, N) int32 little-endian c-bit digits."""
     n_windows = (SCALAR_BITS + c - 1) // c
+    if c == 8:
+        # fast path: 8-bit windows ARE the little-endian bytes
+        buf = b"".join(int(s).to_bytes(32, "little") for s in scalars)
+        return np.frombuffer(buf, dtype=np.uint8).reshape(len(scalars), 32).T.astype(np.int32)
     out = np.zeros((n_windows, len(scalars)), dtype=np.int32)
     for i, s in enumerate(scalars):
         s = int(s)
@@ -121,21 +125,34 @@ def _bucket_aggregate(spec: FieldSpec, buckets: JacobianPoint, c: int) -> Jacobi
 
 
 def _msm_device(spec: FieldSpec, qx, qy, qinf, digits, c: int) -> JacobianPoint:
+    """digits: (W, N). All windows' bucket pipelines run as ONE vmapped
+    (lane-parallel) computation; only the cheap Horner window fold is
+    sequential (W * (c+1) point ops of depth)."""
     one = jnp.broadcast_to(jnp.asarray(spec.one_mont), qx.shape)
     zero = jnp.zeros_like(qx)
     pts = JacobianPoint(qx, qy, jnp.where(qinf[:, None], zero, one))
 
-    # scan over windows MSB -> LSB: one compiled body regardless of window count
-    def body(acc, window_digits):
+    def window_fn(window_digits):
         buckets = _segmented_bucket_sums(spec, pts, window_digits, c)
-        wsum = _bucket_aggregate(spec, buckets, c)
+        return _bucket_aggregate(spec, buckets, c)
+
+    wsums = jax.vmap(window_fn)(digits)  # leaves (W, 16)
+
+    def horner(acc, wsum):
         acc = jax.lax.fori_loop(0, c, lambda _, a: point_double(spec, a), acc)
-        acc = point_add(spec, acc, wsum)
+        acc = point_add(spec, acc, JacobianPoint(wsum[0], wsum[1], wsum[2]))
         return acc, None
 
-    init = infinity(spec)
-    acc, _ = jax.lax.scan(body, init, digits[::-1])
+    rev = (wsums.x[::-1], wsums.y[::-1], wsums.z[::-1])
+    acc, _ = jax.lax.scan(horner, infinity(spec), rev)
     return acc
+
+
+def _msm_device_batch(spec: FieldSpec, qx, qy, qinf, digits_batch, c: int) -> JacobianPoint:
+    """digits_batch: (B, W, N) — B independent scalar sets over shared
+    points, vmapped into one program (the prover commits whole column
+    batches in a single device call)."""
+    return jax.vmap(lambda d: _msm_device(spec, qx, qy, qinf, d, c))(digits_batch)
 
 
 @functools.lru_cache(maxsize=None)
@@ -147,6 +164,45 @@ def _compiled_msm(modulus: int, n: int, c: int, n_windows: int):
         return _msm_device(spec, qx, qy, qinf, digits, c)
 
     return f
+
+
+@functools.lru_cache(maxsize=None)
+def _compiled_msm_batch(modulus: int, n: int, c: int, n_windows: int, batch: int):
+    spec = FieldSpec.make(modulus)
+
+    @jax.jit
+    def f(qx, qy, qinf, digits_batch):
+        return _msm_device_batch(spec, qx, qy, qinf, digits_batch, c)
+
+    return f
+
+
+def msm_many(curve: Curve, points, scalars_list, c: int = WINDOW_BITS, force_device: bool = False):
+    """Batched MSM: many scalar vectors over one shared point set, one
+    device dispatch. Returns a list of affine results."""
+    if not scalars_list:
+        return []
+    if not force_device and not device_backend_is_tpu():
+        return [curve.pippenger(points, s) for s in scalars_list]
+    n0 = len(points)
+    target = max(64, 1 << (n0 - 1).bit_length())
+    pts = list(points) + [curve.generator] * (target - n0)
+    b0 = len(scalars_list)
+    b_target = max(1, 1 << (b0 - 1).bit_length())
+    spec = FieldSpec.make(curve.base.modulus)
+    jac = affine_to_jacobian_host(spec, pts)
+    qinf = jnp.asarray(np.array([p is None for p in pts], dtype=bool))
+    digit_stack = np.stack(
+        [
+            scalars_to_digits([s % curve.scalar.modulus for s in sc] + [0] * (target - n0), c)
+            for sc in scalars_list
+        ]
+        + [scalars_to_digits([0] * target, c)] * (b_target - b0)
+    )
+    f = _compiled_msm_batch(curve.base.modulus, target, c, digit_stack.shape[1], b_target)
+    out = f(jac.x, jac.y, qinf, jnp.asarray(digit_stack))
+    res = jacobian_to_affine_host(spec, out)
+    return res[:b0]
 
 
 def device_backend_is_tpu() -> bool:

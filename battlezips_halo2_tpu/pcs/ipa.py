@@ -115,6 +115,19 @@ def commit(params: Params, coeffs: list[int], blind: int) -> Point:
     return msm(VESTA, points, scalars)
 
 
+def commit_many(params: Params, polys: list, blinds: list) -> list[Point]:
+    """Commit a batch of polynomials in ONE vmapped device MSM over the
+    shared [G | W] point set."""
+    from ..ops.msm import msm_many
+
+    assert len(polys) == len(blinds)
+    if not polys:
+        return []
+    points = params.g + [params.w]
+    scalars_list = [list(p) + [0] * (params.n - len(p)) + [b] for p, b in zip(polys, blinds)]
+    return msm_many(VESTA, points, scalars_list)
+
+
 def commit_lagrange(params: Params, values: list[int], blind: int) -> Point:
     """Commit to values in the Lagrange basis — identical MSM shape since G
     is basis-agnostic for binding; the PLONK layer converts beforehand. Kept
@@ -139,41 +152,64 @@ def create_open_proof(
 ):
     """Open the committed polynomial at x (value p(x) is already known to
     the verifier via the transcript)."""
+    from ..ops.msm import msm_many
+
+    m = FP.modulus
     n = params.n
-    a = [c % FP.modulus for c in coeffs] + [0] * (n - len(coeffs))
+    a = [c % m for c in coeffs] + [0] * (n - len(coeffs))
     b = []
     acc = 1
     for _ in range(n):
         b.append(acc)
-        acc = acc * x % FP.modulus
-    g: list[Point] = list(params.g)
+        acc = acc * x % m
 
     xi = transcript.squeeze_challenge_nonzero()
     u_point = VESTA.mul(params.u, xi)
 
-    r = blind % FP.modulus
+    # The folded G vector is never materialized: each folded entry is a
+    # +-power-product combination of original G points, so every round's
+    # L/R inner products are MSMs over the ORIGINAL G with composite
+    # scalar vectors (c = accumulated u-powers, p = current fold position).
+    c_coeff = [1] * n
+    pos = list(range(n))
+
+    r = blind % m
     length = n
     while length > 1:
         half = length // 2
         a_lo, a_hi = a[:half], a[half:length]
         b_lo, b_hi = b[:half], b[half:length]
-        g_lo, g_hi = g[:half], g[half:length]
 
         l_blind = FP.random(rng)
         r_blind = FP.random(rng)
         value_l = _inner(a_lo, b_hi)
         value_r = _inner(a_hi, b_lo)
-        L = msm(VESTA, g_hi + [u_point, params.w], a_lo + [value_l, l_blind])
-        R = msm(VESTA, g_lo + [u_point, params.w], a_hi + [value_r, r_blind])
+
+        v_l = [0] * n
+        v_r = [0] * n
+        for t in range(n):
+            pt = pos[t]
+            if pt >= half:
+                v_l[t] = c_coeff[t] * a[pt - half] % m  # <a_lo, G_hi>
+            else:
+                v_r[t] = c_coeff[t] * a[half + pt] % m  # <a_hi, G_lo>
+        base_l, base_r = msm_many(VESTA, params.g, [v_l, v_r])
+        L = VESTA.add(base_l, VESTA.add(VESTA.mul(u_point, value_l), VESTA.mul(params.w, l_blind)))
+        R = VESTA.add(base_r, VESTA.add(VESTA.mul(u_point, value_r), VESTA.mul(params.w, r_blind)))
         transcript.write_point(L)
         transcript.write_point(R)
         u = transcript.squeeze_challenge_nonzero()
         u_inv = FP.inv(u)
 
-        a = [(u * lo + u_inv * hi) % FP.modulus for lo, hi in zip(a_lo, a_hi)]
-        b = [(u_inv * lo + u * hi) % FP.modulus for lo, hi in zip(b_lo, b_hi)]
-        g = [VESTA.add(VESTA.mul(glo, u_inv), VESTA.mul(ghi, u)) for glo, ghi in zip(g_lo, g_hi)]
-        r = (r + u * u % FP.modulus * l_blind + u_inv * u_inv % FP.modulus * r_blind) % FP.modulus
+        a = [(u * lo + u_inv * hi) % m for lo, hi in zip(a_lo, a_hi)]
+        b = [(u_inv * lo + u * hi) % m for lo, hi in zip(b_lo, b_hi)]
+        for t in range(n):
+            if pos[t] >= half:
+                c_coeff[t] = c_coeff[t] * u % m
+                pos[t] -= half
+            else:
+                c_coeff[t] = c_coeff[t] * u_inv % m
+        r = (r + u * u % m * l_blind + u_inv * u_inv % m * r_blind) % m
         length = half
 
     transcript.write_scalar(a[0])

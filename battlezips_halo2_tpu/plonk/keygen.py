@@ -17,7 +17,7 @@ import hashlib
 from dataclasses import dataclass, field
 
 from ..fields.host import FP
-from ..pcs.ipa import Params, commit
+from ..pcs.ipa import Params, commit, commit_many
 from ..poly.domain import EvaluationDomain
 from .assignment import Assignment, Layouter
 from .circuit import ConstraintSystem
@@ -162,11 +162,13 @@ def keygen(params: Params, circuit) -> ProvingKey:
     from ..poly.transforms import batch_lagrange_to_coeff
 
     fixed_polys = batch_lagrange_to_coeff(domain, fixed_values)
-    fixed_commitments = [commit(params, p, 0) for p in fixed_polys]
-
     columns, sigmas = build_permutation(cs, assignment, n)
     sigma_polys = batch_lagrange_to_coeff(domain, sigmas)
-    sigma_commitments = [commit(params, p, 0) for p in sigma_polys]
+    all_commitments = commit_many(
+        params, fixed_polys + sigma_polys, [0] * (len(fixed_polys) + len(sigma_polys))
+    )
+    fixed_commitments = all_commitments[: len(fixed_polys)]
+    sigma_commitments = all_commitments[len(fixed_polys) :]
 
     vk = VerifyingKey(
         k=k,

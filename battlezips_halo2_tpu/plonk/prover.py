@@ -41,7 +41,7 @@ class _Phase:
 
 from ..curves.host import VESTA
 from ..fields.host import FP
-from ..pcs.ipa import Params, commit
+from ..pcs.ipa import Params, commit, commit_many
 from ..pcs.multiopen import Query, multiopen_prove
 from ..poly.domain import eval_poly_coeffs
 from ..poly.transforms import batch_coeff_to_extended, batch_lagrange_to_coeff
@@ -158,8 +158,8 @@ def create_proof(
         advice_values.append(vals)
     advice_polys = batch_lagrange_to_coeff(domain, advice_values)
     advice_blinds = [FP.random(rng) for _ in advice_polys]
-    for poly, blind in zip(advice_polys, advice_blinds):
-        transcript.write_point(commit(params, poly, blind))
+    for point in commit_many(params, advice_polys, advice_blinds):
+        transcript.write_point(point)
 
     phase.mark("advice synth+commit")
     fixed_values = pk.fixed_values
@@ -203,12 +203,14 @@ def create_proof(
             }
         )
     lookup_perm_polys = []
-    for lk in lookups:
-        a_poly, s_poly = batch_lagrange_to_coeff(domain, [lk["a_perm"], lk["s_perm"]])
-        a_blind, s_blind = FP.random(rng), FP.random(rng)
-        transcript.write_point(commit(params, a_poly, a_blind))
-        transcript.write_point(commit(params, s_poly, s_blind))
-        lookup_perm_polys.append((a_poly, a_blind, s_poly, s_blind))
+    if lookups:
+        flat = batch_lagrange_to_coeff(domain, [v for lk in lookups for v in (lk["a_perm"], lk["s_perm"])])
+        blinds = [FP.random(rng) for _ in flat]
+        points = commit_many(params, flat, blinds)
+        for i in range(len(lookups)):
+            transcript.write_point(points[2 * i])
+            transcript.write_point(points[2 * i + 1])
+            lookup_perm_polys.append((flat[2 * i], blinds[2 * i], flat[2 * i + 1], blinds[2 * i + 1]))
 
     phase.mark("lookups permute+commit")
     beta = transcript.squeeze_challenge()
@@ -249,8 +251,8 @@ def create_proof(
         perm_z_values.append(z)
     perm_z_polys = batch_lagrange_to_coeff(domain, perm_z_values) if perm_z_values else []
     perm_z_blinds = [FP.random(rng) for _ in perm_z_polys]
-    for poly, blind in zip(perm_z_polys, perm_z_blinds):
-        transcript.write_point(commit(params, poly, blind))
+    for point in commit_many(params, perm_z_polys, perm_z_blinds):
+        transcript.write_point(point)
 
     phase.mark("permutation z")
     # --- lookup grand products --------------------------------------------
@@ -270,10 +272,13 @@ def create_proof(
         for row in range(usable + 1, n):
             z[row] = FP.random(rng)
         lk["z_values"] = z
-        z_poly = batch_lagrange_to_coeff(domain, [z])[0]
-        z_blind = FP.random(rng)
-        transcript.write_point(commit(params, z_poly, z_blind))
-        lookup_z_polys.append((z_poly, z_blind))
+        lookup_z_polys.append(z)
+    if lookup_z_polys:
+        zp = batch_lagrange_to_coeff(domain, lookup_z_polys)
+        zb = [FP.random(rng) for _ in zp]
+        for point in commit_many(params, zp, zb):
+            transcript.write_point(point)
+        lookup_z_polys = list(zip(zp, zb))
 
     phase.mark("lookup z")
     # --- vanishing argument ------------------------------------------------
@@ -398,8 +403,8 @@ def create_proof(
     num_pieces = ctx.ext // n
     h_pieces = [h_coeffs[i * n : (i + 1) * n] for i in range(num_pieces)]
     h_blinds = [FP.random(rng) for _ in h_pieces]
-    for piece, blind in zip(h_pieces, h_blinds):
-        transcript.write_point(commit(params, piece, blind))
+    for point in commit_many(params, h_pieces, h_blinds):
+        transcript.write_point(point)
 
     phase.mark("h commit")
     x = transcript.squeeze_challenge()

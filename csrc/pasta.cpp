@@ -1,0 +1,372 @@
+// Native host-side Pasta arithmetic: 4x64-bit Montgomery fields, Jacobian
+// curve ops, Pippenger MSM and batch inversion.
+//
+// The TPU owns the dataplane (JAX/Pallas kernels); this library is the
+// native runtime for host-side work the reference delegates to Rust crates
+// (SURVEY.md §2.2): witness/trace precomputation, CPU-fallback MSM, batch
+// inversions, SRS generation. Exposed as a C ABI consumed via ctypes
+// (battlezips_halo2_tpu/native).
+//
+// Element encoding at the ABI: 32-byte little-endian canonical reprs
+// (matching ff::PrimeField::to_repr and fields/host.py). Points: 64 bytes
+// (x||y), identity = all-zero.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+typedef unsigned __int128 u128;
+typedef uint64_t u64;
+
+struct Fe {
+    u64 l[4];
+};
+
+struct FieldCtx {
+    Fe modulus;
+    Fe r2;      // R^2 mod p (computed at init)
+    Fe one;     // R mod p   (computed at init)
+    u64 inv;    // -p^{-1} mod 2^64 (computed at init)
+    bool ready = false;
+};
+
+// Pallas base field p (= Vesta scalar field); only the modulus is baked in.
+static FieldCtx FP_CTX = {
+    {{0x992d30ed00000001ULL, 0x224698fc094cf91bULL, 0x0000000000000000ULL, 0x4000000000000000ULL}},
+    {}, {}, 0, false,
+};
+// Vesta base field q (= Pallas scalar field)
+static FieldCtx FQ_CTX = {
+    {{0x8c46eb2100000001ULL, 0x224698fc0994a8ddULL, 0x0000000000000000ULL, 0x4000000000000000ULL}},
+    {}, {}, 0, false,
+};
+
+static bool fe_gte(const Fe& a, const Fe& b);
+static void fe_sub_raw(Fe& out, const Fe& a, const Fe& b);
+
+static void ctx_init(FieldCtx* c) {
+    if (c->ready) return;
+    // inv = -p^{-1} mod 2^64 via Newton iteration
+    u64 p0 = c->modulus.l[0];
+    u64 x = 1;
+    for (int i = 0; i < 6; ++i) x *= 2 - p0 * x;  // x = p0^{-1} mod 2^64
+    c->inv = (u64)(0 - x);
+    // one = R = 2^256 mod p by 256 modular doublings of 1
+    Fe r = {{1, 0, 0, 0}};
+    for (int i = 0; i < 256; ++i) {
+        u128 carry = 0;
+        Fe t;
+        for (int j = 0; j < 4; ++j) {
+            u128 s = ((u128)r.l[j] << 1) | carry;
+            t.l[j] = (u64)s;
+            carry = s >> 64;
+        }
+        if (carry || fe_gte(t, c->modulus)) fe_sub_raw(t, t, c->modulus);
+        r = t;
+    }
+    c->one = r;
+    // r2 = R^2 mod p = R doubled 256 more times
+    Fe r2 = r;
+    for (int i = 0; i < 256; ++i) {
+        u128 carry = 0;
+        Fe t;
+        for (int j = 0; j < 4; ++j) {
+            u128 s = ((u128)r2.l[j] << 1) | carry;
+            t.l[j] = (u64)s;
+            carry = s >> 64;
+        }
+        if (carry || fe_gte(t, c->modulus)) fe_sub_raw(t, t, c->modulus);
+        r2 = t;
+    }
+    c->r2 = r2;
+    c->ready = true;
+}
+
+static inline const FieldCtx* ctx_for(int which) {
+    FieldCtx* c = which == 0 ? &FP_CTX : &FQ_CTX;
+    ctx_init(c);
+    return c;
+}
+
+static inline bool fe_is_zero(const Fe& a) {
+    return (a.l[0] | a.l[1] | a.l[2] | a.l[3]) == 0;
+}
+
+static inline bool fe_gte(const Fe& a, const Fe& b) {
+    for (int i = 3; i >= 0; --i) {
+        if (a.l[i] > b.l[i]) return true;
+        if (a.l[i] < b.l[i]) return false;
+    }
+    return true;
+}
+
+static inline void fe_sub_raw(Fe& out, const Fe& a, const Fe& b) {
+    u128 borrow = 0;
+    for (int i = 0; i < 4; ++i) {
+        u128 d = (u128)a.l[i] - b.l[i] - borrow;
+        out.l[i] = (u64)d;
+        borrow = (d >> 64) ? 1 : 0;
+    }
+}
+
+static inline void fe_add(const FieldCtx* c, Fe& out, const Fe& a, const Fe& b) {
+    u128 carry = 0;
+    for (int i = 0; i < 4; ++i) {
+        u128 s = (u128)a.l[i] + b.l[i] + carry;
+        out.l[i] = (u64)s;
+        carry = s >> 64;
+    }
+    if (carry || fe_gte(out, c->modulus)) fe_sub_raw(out, out, c->modulus);
+}
+
+static inline void fe_sub(const FieldCtx* c, Fe& out, const Fe& a, const Fe& b) {
+    Fe t;
+    u128 borrow = 0;
+    for (int i = 0; i < 4; ++i) {
+        u128 d = (u128)a.l[i] - b.l[i] - borrow;
+        t.l[i] = (u64)d;
+        borrow = (d >> 64) ? 1 : 0;
+    }
+    if (borrow) {
+        u128 carry = 0;
+        for (int i = 0; i < 4; ++i) {
+            u128 s = (u128)t.l[i] + c->modulus.l[i] + carry;
+            t.l[i] = (u64)s;
+            carry = s >> 64;
+        }
+    }
+    out = t;
+}
+
+// CIOS Montgomery multiplication
+static void fe_mul(const FieldCtx* c, Fe& out, const Fe& a, const Fe& b) {
+    u64 t[6] = {0, 0, 0, 0, 0, 0};
+    for (int i = 0; i < 4; ++i) {
+        u128 carry = 0;
+        for (int j = 0; j < 4; ++j) {
+            u128 s = (u128)t[j] + (u128)a.l[i] * b.l[j] + carry;
+            t[j] = (u64)s;
+            carry = s >> 64;
+        }
+        u128 s = (u128)t[4] + carry;
+        t[4] = (u64)s;
+        t[5] = (u64)(s >> 64);
+
+        u64 m = t[0] * c->inv;
+        carry = ((u128)t[0] + (u128)m * c->modulus.l[0]) >> 64;
+        for (int j = 1; j < 4; ++j) {
+            u128 s2 = (u128)t[j] + (u128)m * c->modulus.l[j] + carry;
+            t[j - 1] = (u64)s2;
+            carry = s2 >> 64;
+        }
+        s = (u128)t[4] + carry;
+        t[3] = (u64)s;
+        t[4] = t[5] + (u64)(s >> 64);
+    }
+    Fe r = {{t[0], t[1], t[2], t[3]}};
+    if (t[4] || fe_gte(r, c->modulus)) fe_sub_raw(r, r, c->modulus);
+    out = r;
+}
+
+static void fe_sqr(const FieldCtx* c, Fe& out, const Fe& a) { fe_mul(c, out, a, a); }
+
+static void fe_pow(const FieldCtx* c, Fe& out, const Fe& base, const Fe& exp_plain) {
+    Fe result = c->one;
+    Fe b = base;
+    for (int limb = 3; limb >= 0; --limb) {
+        for (int bit = 63; bit >= 0; --bit) {
+            fe_sqr(c, result, result);
+            if ((exp_plain.l[limb] >> bit) & 1) fe_mul(c, result, result, b);
+        }
+    }
+    out = result;
+}
+
+static void fe_inv(const FieldCtx* c, Fe& out, const Fe& a) {
+    // a^(p-2) in Montgomery form
+    Fe e = c->modulus;
+    u128 borrow = 2;
+    for (int i = 0; i < 4 && borrow; ++i) {
+        u128 d = (u128)e.l[i] - borrow;
+        e.l[i] = (u64)d;
+        borrow = (d >> 64) ? 1 : 0;
+    }
+    fe_pow(c, out, a, e);
+}
+
+static void fe_to_mont(const FieldCtx* c, Fe& out, const Fe& a) { fe_mul(c, out, a, c->r2); }
+
+static void fe_from_mont(const FieldCtx* c, Fe& out, const Fe& a) {
+    Fe one_plain = {{1, 0, 0, 0}};
+    fe_mul(c, out, a, one_plain);
+}
+
+// ---------------------------------------------------------------- EC layer
+// Jacobian over the given base field, curve y^2 = x^3 + 5.
+struct Pt {
+    Fe x, y, z;  // Montgomery form; z == 0 -> identity
+};
+
+static void pt_identity(Pt& p) { std::memset(&p, 0, sizeof(Pt)); }
+
+static void pt_double(const FieldCtx* c, Pt& out, const Pt& p) {
+    if (fe_is_zero(p.z)) { out = p; return; }
+    Fe A, B, C, D, E, F, t, X3, Y3, Z3;
+    fe_sqr(c, A, p.x);
+    fe_sqr(c, B, p.y);
+    fe_sqr(c, C, B);
+    fe_add(c, t, p.x, B);
+    fe_sqr(c, t, t);
+    fe_sub(c, t, t, A);
+    fe_sub(c, t, t, C);
+    fe_add(c, D, t, t);
+    fe_add(c, E, A, A);
+    fe_add(c, E, E, A);
+    fe_sqr(c, F, E);
+    fe_add(c, t, D, D);
+    fe_sub(c, X3, F, t);
+    Fe c8;
+    fe_add(c, c8, C, C);
+    fe_add(c, c8, c8, c8);
+    fe_add(c, c8, c8, c8);
+    fe_sub(c, t, D, X3);
+    fe_mul(c, Y3, E, t);
+    fe_sub(c, Y3, Y3, c8);
+    fe_mul(c, Z3, p.y, p.z);
+    fe_add(c, Z3, Z3, Z3);
+    out.x = X3; out.y = Y3; out.z = Z3;
+}
+
+static void pt_add(const FieldCtx* c, Pt& out, const Pt& p, const Pt& q) {
+    if (fe_is_zero(p.z)) { out = q; return; }
+    if (fe_is_zero(q.z)) { out = p; return; }
+    Fe z1z1, z2z2, u1, u2, s1, s2, h, r, hh, hhh, v, t;
+    fe_sqr(c, z1z1, p.z);
+    fe_sqr(c, z2z2, q.z);
+    fe_mul(c, u1, p.x, z2z2);
+    fe_mul(c, u2, q.x, z1z1);
+    fe_mul(c, s1, p.y, q.z);
+    fe_mul(c, s1, s1, z2z2);
+    fe_mul(c, s2, q.y, p.z);
+    fe_mul(c, s2, s2, z1z1);
+    fe_sub(c, h, u2, u1);
+    fe_sub(c, r, s2, s1);
+    if (fe_is_zero(h)) {
+        if (fe_is_zero(r)) { pt_double(c, out, p); return; }
+        pt_identity(out);
+        return;
+    }
+    fe_sqr(c, hh, h);
+    fe_mul(c, hhh, hh, h);
+    fe_mul(c, v, u1, hh);
+    Fe r2v;
+    fe_sqr(c, r2v, r);
+    fe_sub(c, r2v, r2v, hhh);
+    fe_add(c, t, v, v);
+    fe_sub(c, out.x, r2v, t);
+    fe_sub(c, t, v, out.x);
+    fe_mul(c, t, r, t);
+    Fe s1hhh;
+    fe_mul(c, s1hhh, s1, hhh);
+    fe_sub(c, out.y, t, s1hhh);
+    fe_mul(c, out.z, p.z, q.z);
+    fe_mul(c, out.z, out.z, h);
+}
+
+static void pt_to_affine(const FieldCtx* c, Fe& ax, Fe& ay, const Pt& p) {
+    if (fe_is_zero(p.z)) { std::memset(&ax, 0, sizeof(Fe)); std::memset(&ay, 0, sizeof(Fe)); return; }
+    Fe zi, zi2, zi3;
+    fe_inv(c, zi, p.z);
+    fe_sqr(c, zi2, zi);
+    fe_mul(c, zi3, zi2, zi);
+    fe_mul(c, ax, p.x, zi2);
+    fe_mul(c, ay, p.y, zi3);
+}
+
+// ---------------------------------------------------------------- C ABI
+extern "C" {
+
+// batched field ops; a, b, out: n * 32-byte LE canonical reprs
+void pasta_mul_batch(int which, const uint8_t* a, const uint8_t* b, uint8_t* out, int64_t n) {
+    const FieldCtx* c = ctx_for(which);
+    for (int64_t i = 0; i < n; ++i) {
+        Fe fa, fb, r;
+        std::memcpy(&fa, a + 32 * i, 32);
+        std::memcpy(&fb, b + 32 * i, 32);
+        fe_to_mont(c, fa, fa);
+        fe_to_mont(c, fb, fb);
+        fe_mul(c, r, fa, fb);
+        fe_from_mont(c, r, r);
+        std::memcpy(out + 32 * i, &r, 32);
+    }
+}
+
+// Montgomery batch inversion (one field inversion for n elements)
+void pasta_inv_batch(int which, const uint8_t* a, uint8_t* out, int64_t n) {
+    const FieldCtx* c = ctx_for(which);
+    std::vector<Fe> vals(n), prefix(n);
+    Fe acc = c->one;
+    for (int64_t i = 0; i < n; ++i) {
+        std::memcpy(&vals[i], a + 32 * i, 32);
+        fe_to_mont(c, vals[i], vals[i]);
+        prefix[i] = acc;
+        fe_mul(c, acc, acc, vals[i]);
+    }
+    Fe inv;
+    fe_inv(c, inv, acc);
+    for (int64_t i = n - 1; i >= 0; --i) {
+        Fe r;
+        fe_mul(c, r, prefix[i], inv);
+        fe_mul(c, inv, inv, vals[i]);
+        fe_from_mont(c, r, r);
+        std::memcpy(out + 32 * i, &r, 32);
+    }
+}
+
+// Pippenger MSM: points n*64 bytes affine (identity = zeros), scalars
+// n*32 bytes plain LE; out: 64 bytes affine.
+void pasta_msm(int which, const uint8_t* points, const uint8_t* scalars, uint8_t* out, int64_t n) {
+    const FieldCtx* c = ctx_for(which);
+    const int C_BITS = 8;
+    const int N_WINDOWS = 32;
+    std::vector<Pt> pts(n);
+    for (int64_t i = 0; i < n; ++i) {
+        Fe x, y;
+        std::memcpy(&x, points + 64 * i, 32);
+        std::memcpy(&y, points + 64 * i + 32, 32);
+        if (fe_is_zero(x) && fe_is_zero(y)) {
+            pt_identity(pts[i]);
+        } else {
+            fe_to_mont(c, pts[i].x, x);
+            fe_to_mont(c, pts[i].y, y);
+            pts[i].z = c->one;
+        }
+    }
+    Pt acc;
+    pt_identity(acc);
+    std::vector<Pt> buckets(1 << C_BITS);
+    for (int w = N_WINDOWS - 1; w >= 0; --w) {
+        for (int d = 0; d < C_BITS; ++d) pt_double(c, acc, acc);
+        for (auto& bkt : buckets) pt_identity(bkt);
+        for (int64_t i = 0; i < n; ++i) {
+            uint8_t digit = scalars[32 * i + w];  // c=8: digits are bytes
+            if (digit) pt_add(c, buckets[digit], buckets[digit], pts[i]);
+        }
+        Pt running, wsum;
+        pt_identity(running);
+        pt_identity(wsum);
+        for (int b = (1 << C_BITS) - 1; b >= 1; --b) {
+            pt_add(c, running, running, buckets[b]);
+            pt_add(c, wsum, wsum, running);
+        }
+        pt_add(c, acc, acc, wsum);
+    }
+    Fe ax, ay;
+    pt_to_affine(c, ax, ay, acc);
+    fe_from_mont(c, ax, ax);
+    fe_from_mont(c, ay, ay);
+    std::memcpy(out, &ax, 32);
+    std::memcpy(out + 32, &ay, 32);
+}
+
+}  // extern "C"
