@@ -29,17 +29,47 @@ class BoardProof:
     proof: bytes
 
 
+def _artifact_dir():
+    from pathlib import Path
+
+    return Path(__file__).resolve().parent.parent / ".artifacts"
+
+
+def _cached_pk(name: str, params, make_circuit):
+    """pk/vk artifact store keyed by (circuit, k) — the persistence layer
+    the reference's wasm API lacks (circuit_wasm.rs regenerates keys every
+    call; SURVEY.md §5.4)."""
+    from .plonk.keygen import ProvingKey
+
+    path = _artifact_dir() / f"pk_{name}_{params.k}.pkl"
+    if path.exists():
+        try:
+            return ProvingKey.load(path)
+        except Exception:
+            pass
+    pk = keygen(params, make_circuit())
+    try:
+        pk.save(path)
+    except Exception:
+        pass
+    return pk
+
+
 @lru_cache(maxsize=2)
 def _board_keys():
     params = cached_params(BoardCircuit.K)
-    pk = keygen(params, BoardCircuit([BinaryValue(1)] + [BinaryValue.empty()] * 9, BinaryValue(1), 1))
+    pk = _cached_pk(
+        "board",
+        params,
+        lambda: BoardCircuit([BinaryValue(1)] + [BinaryValue.empty()] * 9, BinaryValue(1), 1),
+    )
     return params, pk
 
 
 @lru_cache(maxsize=2)
 def _shot_keys():
     params = cached_params(ShotCircuit.K)
-    pk = keygen(params, ShotCircuit(BinaryValue(1), 1, BinaryValue(1), BinaryValue(1)))
+    pk = _cached_pk("shot", params, lambda: ShotCircuit(BinaryValue(1), 1, BinaryValue(1), BinaryValue(1)))
     return params, pk
 
 
@@ -97,3 +127,39 @@ def verify_shot(proof: ShotProof) -> bool:
     params, pk = _shot_keys()
     instance = [proof.commitment[0], proof.commitment[1], proof.shot, proof.hit]
     return verify_proof(params, pk.vk, proof.proof, [instance])
+
+
+@dataclass
+class GameSession:
+    """A batched proving session (BASELINE.md config 5: 64 shot + 8 board
+    proofs). Data-parallel across a game batch: each (board, shots) pair is
+    independent, so shards of the batch can be proven on different
+    hosts/processes; within a host the device work (NTT batches, MSMs)
+    is shared-kernel and cache-hot."""
+
+    board_proofs: list
+    shot_proofs: list
+
+
+def prove_session(games: list, shots_per_game: int = 8, trapdoors: list | None = None) -> GameSession:
+    """games: list of 5-ship placement lists. Produces one board proof per
+    game plus `shots_per_game` shot proofs against each committed board."""
+    board_proofs = []
+    shot_proofs = []
+    for gi, ships in enumerate(games):
+        trapdoor = trapdoors[gi] if trapdoors else FQ.random()
+        bp = prove_board(ships, trapdoor)
+        board_proofs.append(bp)
+        board = Board.from_deck(Deck.from_placements(ships))
+        state = board.state()
+        for si in range(shots_per_game):
+            x, y = si % 10, (si * 3 + gi) % 10
+            hit = state.bit(y * 10 + x)
+            shot_proofs.append(prove_shot(state, trapdoor, (x, y), hit))
+    return GameSession(board_proofs, shot_proofs)
+
+
+def verify_session(session: GameSession) -> bool:
+    return all(verify_board(p) for p in session.board_proofs) and all(
+        verify_shot(p) for p in session.shot_proofs
+    )

@@ -26,8 +26,9 @@ class JacobianPoint(NamedTuple):
     z: jnp.ndarray
 
 
-def infinity(spec: FieldSpec, shape=()) -> JacobianPoint:
-    one = jnp.broadcast_to(jnp.asarray(spec.one_mont), shape + (L.NLIMBS,))
+def infinity(spec: FieldSpec, shape=(), cst=None) -> JacobianPoint:
+    one = L._cst(spec, cst).one_mont if cst is not None else jnp.asarray(spec.one_mont)
+    one = jnp.broadcast_to(one, shape + (L.NLIMBS,))
     zero = jnp.zeros(shape + (L.NLIMBS,), dtype=jnp.uint32)
     return JacobianPoint(one, one, zero)
 
@@ -77,11 +78,11 @@ def select_point(cond, a: JacobianPoint, b: JacobianPoint) -> JacobianPoint:
     )
 
 
-def point_double(spec: FieldSpec, p: JacobianPoint) -> JacobianPoint:
+def point_double(spec: FieldSpec, p: JacobianPoint, cst=None) -> JacobianPoint:
     """2P, a = 0 short Weierstrass ('dbl-2009-l'). Identity-safe (Z=0 -> Z3=0)."""
-    mul = lambda a, b: L.mont_mul(spec, a, b)
-    add = lambda a, b: L.add(spec, a, b)
-    sub = lambda a, b: L.sub(spec, a, b)
+    mul = lambda a, b: L.mont_mul(spec, a, b, cst)
+    add = lambda a, b: L.add(spec, a, b, cst)
+    sub = lambda a, b: L.sub(spec, a, b, cst)
     A = mul(p.x, p.x)
     B = mul(p.y, p.y)
     C = mul(B, B)
@@ -99,12 +100,12 @@ def point_double(spec: FieldSpec, p: JacobianPoint) -> JacobianPoint:
     return JacobianPoint(X3, Y3, Z3)
 
 
-def point_add(spec: FieldSpec, p: JacobianPoint, q: JacobianPoint) -> JacobianPoint:
+def point_add(spec: FieldSpec, p: JacobianPoint, q: JacobianPoint, cst=None) -> JacobianPoint:
     """P + Q, fully general (handles identity, doubling, inverse) via lane
     selection ('add-2007-bl' + candidates)."""
-    mul = lambda a, b: L.mont_mul(spec, a, b)
-    add = lambda a, b: L.add(spec, a, b)
-    sub = lambda a, b: L.sub(spec, a, b)
+    mul = lambda a, b: L.mont_mul(spec, a, b, cst)
+    add = lambda a, b: L.add(spec, a, b, cst)
+    sub = lambda a, b: L.sub(spec, a, b, cst)
 
     z1z1 = mul(p.z, p.z)
     z2z2 = mul(q.z, q.z)
@@ -124,7 +125,7 @@ def point_add(spec: FieldSpec, p: JacobianPoint, q: JacobianPoint) -> JacobianPo
     Z3 = mul(mul(p.z, q.z), h)
     added = JacobianPoint(X3, Y3, Z3)
 
-    doubled = point_double(spec, p)
+    doubled = point_double(spec, p, cst)
 
     p_inf = L.is_zero(p.z)
     q_inf = L.is_zero(q.z)
@@ -132,7 +133,7 @@ def point_add(spec: FieldSpec, p: JacobianPoint, q: JacobianPoint) -> JacobianPo
     r_zero = L.is_zero(r)
 
     # default: added; if H==0 and r==0: doubled; if H==0 and r!=0: infinity
-    inf = infinity(spec, p.x.shape[:-1])
+    inf = infinity(spec, p.x.shape[:-1], cst)
     out = select_point(h_zero & r_zero, doubled, added)
     out = select_point(h_zero & ~r_zero, inf, out)
     out = select_point(q_inf, p, out)

@@ -135,9 +135,9 @@ def _normalize17(t):
     return jnp.stack(out, axis=-1)
 
 
-def _cond_sub_p(spec: FieldSpec, r17):
+def _cond_sub_p(spec: FieldSpec, r17, cst=None):
     """Branchless r - p if r >= p, on canonical 17-limb input < 2p."""
-    p17 = jnp.asarray(spec.p17.astype(np.int32))
+    p17 = _cst(spec, cst).p17_i32
     d = r17.astype(jnp.int32)
     outs = []
     borrow = jnp.zeros_like(d[..., 0])
@@ -151,16 +151,16 @@ def _cond_sub_p(spec: FieldSpec, r17):
     return res[..., :NLIMBS]
 
 
-def add(spec: FieldSpec, a, b):
+def add(spec: FieldSpec, a, b, cst=None):
     """Field addition on canonical limbs (Montgomery or plain — it's linear)."""
     s = a.astype(U32) + b.astype(U32)
     t = jnp.concatenate([s, jnp.zeros_like(s[..., :1])], axis=-1)
-    return _cond_sub_p(spec, _normalize17(t))
+    return _cond_sub_p(spec, _normalize17(t), cst)
 
 
-def sub(spec: FieldSpec, a, b):
+def sub(spec: FieldSpec, a, b, cst=None):
     """Field subtraction: a - b = a + (p - b) followed by conditional reduce."""
-    p = jnp.asarray(spec.p_limbs.astype(np.int32))
+    p = _cst(spec, cst).p_limbs.astype(jnp.int32)
     d = a.astype(jnp.int32) + p - b.astype(jnp.int32)
     outs = []
     carry = jnp.zeros_like(d[..., 0])
@@ -172,13 +172,13 @@ def sub(spec: FieldSpec, a, b):
         # and p_j + carry >= -1 so clamp via floor-div semantics of >> on int32 (arithmetic) is correct.
     t = jnp.stack(outs, axis=-1).astype(U32)
     t17 = jnp.concatenate([t, carry[..., None].astype(U32)], axis=-1)
-    return _cond_sub_p(spec, t17)
+    return _cond_sub_p(spec, t17, cst)
 
 
-def neg(spec: FieldSpec, a):
+def neg(spec: FieldSpec, a, cst=None):
     zero = jnp.zeros_like(a)
     # p - a, but a may be 0: sub handles it (result p -> cond_sub -> 0)
-    return sub(spec, zero, a)
+    return sub(spec, zero, a, cst)
 
 
 _CONV_MAT = None  # built lazily: (1024, 34) bf16 and (1024, 16) bf16
@@ -204,6 +204,43 @@ def _conv_mats():
     return _CONV_MAT
 
 
+from typing import NamedTuple
+
+
+class LimbConsts(NamedTuple):
+    """All array constants the limb kernels touch, as traced values.
+
+    Pallas kernels cannot close over array constants, so every kernel-usable
+    function threads these through (None -> materialized from the spec,
+    which XLA folds into the graph as usual). ``in_kernel`` selects the
+    Pallas-safe VPU product path (2-D ops only; Mosaic cannot lower the
+    rank-3 reshapes/matmuls of the MXU formulation)."""
+
+    conv_full: jnp.ndarray  # (1024, 34) bf16
+    conv_low: jnp.ndarray  # (1024, 16) bf16
+    p_limbs: jnp.ndarray  # (16,) uint32
+    p17_i32: jnp.ndarray  # (17,) int32
+    nprime: jnp.ndarray  # (16,) uint32
+    one_mont: jnp.ndarray  # (16,) uint32
+    in_kernel: bool = False
+
+
+def spec_consts(spec: "FieldSpec") -> LimbConsts:
+    full, low = _conv_mats()
+    return LimbConsts(
+        conv_full=jnp.asarray(full),
+        conv_low=jnp.asarray(low),
+        p_limbs=jnp.asarray(spec.p_limbs),
+        p17_i32=jnp.asarray(spec.p17.astype(np.int32)),
+        nprime=jnp.asarray(spec.nprime_limbs),
+        one_mont=jnp.asarray(spec.one_mont),
+    )
+
+
+def _cst(spec, cst):
+    return cst if cst is not None else spec_consts(spec)
+
+
 def _split_products(a, b):
     """(..., 1024) bf16 vector of the four 8-bit chunks of all limb products
     (ordering matches _conv_mats: [c0 | c1 | c2 | c3])."""
@@ -213,7 +250,9 @@ def _split_products(a, b):
     c1 = ((prod >> 8) & 0xFF).reshape(flat)
     c2 = ((prod >> 16) & 0xFF).reshape(flat)
     c3 = (prod >> 24).reshape(flat)
-    return jnp.concatenate([c0, c1, c2, c3], axis=-1).astype(jnp.bfloat16)
+    chunks = jnp.concatenate([c0, c1, c2, c3], axis=-1)
+    # u32 -> i32 -> f32 -> bf16: Mosaic (Pallas) has no direct u32->bf16 cast
+    return chunks.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
 
 
 def _exact_matmul(x, m):
@@ -221,18 +260,50 @@ def _exact_matmul(x, m):
     return jnp.matmul(x, m, preferred_element_type=jnp.float32)
 
 
-def _mul_lanes(a, b):
+def _mul_lanes_vpu(a, b, out_lanes: int):
+    """Pallas-safe schoolbook product: 16 shifted row accumulations, all
+    2-D vector ops (VPU inside a kernel, intermediates stay in VMEM)."""
+    a = a.astype(U32)
+    b = b.astype(U32)
+    batch = a.shape[:-1]
+
+    def shifted(row, shift):
+        width = row.shape[-1]
+        keep = min(width, out_lanes - shift)
+        parts = []
+        if shift:
+            parts.append(jnp.zeros(batch + (shift,), dtype=U32))
+        parts.append(row[..., :keep])
+        tail = out_lanes - shift - keep
+        if tail:
+            parts.append(jnp.zeros(batch + (tail,), dtype=U32))
+        return jnp.concatenate(parts, axis=-1)
+
+    t = jnp.zeros(batch + (out_lanes,), dtype=U32)
+    for j in range(NLIMBS):
+        prod = a * b[..., j : j + 1]  # (..., 16) u32, exact
+        t = t + shifted(prod & MASK, j)
+        if j + 1 < out_lanes:
+            t = t + shifted(prod >> LIMB_BITS, j + 1)
+    return t
+
+
+def _mul_lanes(a, b, conv_full, in_kernel: bool = False):
     """Full 16x16 schoolbook product as (..., 34) unnormalized uint32 lanes
-    (each lane < 2^22): one u32 multiply + one bf16 MXU matmul."""
-    full, _ = _conv_mats()
-    t = _exact_matmul(_split_products(a, b), jnp.asarray(full))
-    return t.astype(U32)
+    (each lane < 2^22): one u32 multiply + one bf16 MXU matmul (or the VPU
+    path inside Pallas kernels)."""
+    if in_kernel:
+        return _mul_lanes_vpu(a, b, 2 * NLIMBS + 2)
+    t = _exact_matmul(_split_products(a, b), conv_full)
+    return t.astype(jnp.int32).astype(U32)
 
 
-def _mul_low16(a, b):
+def _mul_low16(a, b, conv_low, in_kernel: bool = False):
     """Low 16 limbs of a*b mod 2^256, canonical."""
-    _, low = _conv_mats()
-    t = _exact_matmul(_split_products(a, b), jnp.asarray(low)).astype(U32)
+    if in_kernel:
+        t = _mul_lanes_vpu(a, b, NLIMBS)
+    else:
+        t = _exact_matmul(_split_products(a, b), conv_low).astype(jnp.int32).astype(U32)
     # carry-propagate 16 lanes, dropping the final carry (mod 2^256)
     out = []
     carry = jnp.zeros_like(t[..., 0])
@@ -255,34 +326,39 @@ def _carry_lanes(t, nout: int):
     return jnp.stack(out, axis=-1)
 
 
-def _redc_wide(spec: FieldSpec, t_lanes):
+def _redc_wide(spec: FieldSpec, t_lanes, cst=None):
     """Separated Montgomery reduction of a (..., >=33)-lane accumulator
     representing T < p*R:  m = (T mod R)*N' mod R;  r = (T + m*p)/R, then a
     conditional subtract. Only matmuls + unrolled elementwise carries.
 
     T mod R only needs the low 16 lanes carry-propagated (overflow past lane
     15 leaves the residue), so the full 32-limb normalize is skipped."""
+    cst = _cst(spec, cst)
     t_low = _carry_lanes(t_lanes[..., :NLIMBS], NLIMBS)  # T mod 2^256 (canonical)
-    m = _mul_low16(t_low, jnp.asarray(spec.nprime_limbs))
-    mp = _mul_lanes(m, jnp.asarray(spec.p_limbs))  # (..., 34) lanes < 2^21
+    m = _mul_low16(t_low, cst.nprime, cst.conv_low, cst.in_kernel)
+    mp = _mul_lanes(m, cst.p_limbs, cst.conv_full, cst.in_kernel)  # (..., 34) lanes < 2^21
     lanes = t_lanes.shape[-1]
-    s = mp.at[..., :lanes].add(t_lanes)  # lanes < 2^22
+    if lanes < mp.shape[-1]:  # pad+add (a scatter would break Pallas lowering)
+        pad = [(0, 0)] * (t_lanes.ndim - 1) + [(0, mp.shape[-1] - lanes)]
+        t_lanes = jnp.pad(t_lanes, pad)
+    s = mp + t_lanes  # lanes < 2^22
     s = _carry_lanes(s, 2 * NLIMBS + 2)
     r17 = s[..., NLIMBS : NLIMBS + 17]
-    return _cond_sub_p(spec, r17)
+    return _cond_sub_p(spec, r17, cst)
 
 
-def mont_mul(spec: FieldSpec, a, b):
+def mont_mul(spec: FieldSpec, a, b, cst=None):
     """Montgomery product: REDC(a*b) = a*b*R^{-1} mod p.
 
     a, b: (..., 16) uint32 canonical limbs (values < p, in Montgomery form
     for field semantics; the kernel itself is representation-agnostic).
     """
-    return _redc_wide(spec, _mul_lanes(a, b))
+    cst = _cst(spec, cst)
+    return _redc_wide(spec, _mul_lanes(a, b, cst.conv_full, cst.in_kernel), cst)
 
 
-def mont_sqr(spec: FieldSpec, a):
-    return mont_mul(spec, a, a)
+def mont_sqr(spec: FieldSpec, a, cst=None):
+    return mont_mul(spec, a, a, cst)
 
 
 def to_mont(spec: FieldSpec, a):
@@ -291,13 +367,12 @@ def to_mont(spec: FieldSpec, a):
     return mont_mul(spec, a, jnp.broadcast_to(r2, a.shape))
 
 
-def from_mont(spec: FieldSpec, a):
+def from_mont(spec: FieldSpec, a, cst=None):
     """Montgomery form -> plain limbs (REDC against 1)."""
     a = a.astype(U32)
     batch_shape = a.shape[:-1]
-    t = jnp.zeros(batch_shape + (2 * NLIMBS + 1,), dtype=U32)
-    t = t.at[..., :NLIMBS].add(a)
-    return _redc_wide(spec, t)
+    t = jnp.concatenate([a, jnp.zeros(batch_shape + (NLIMBS + 1,), dtype=U32)], axis=-1)
+    return _redc_wide(spec, t, cst)
 
 
 def is_zero(a):

@@ -24,7 +24,13 @@ from ..poly.domain import bit_reverse
 
 
 class NttPlan:
-    """Precomputed twiddle tables + bit-reverse permutation for one (n, omega)."""
+    """Precomputed twiddle tables, butterfly gather indices and bit-reverse
+    permutation for one (n, omega).
+
+    Stages are executed as flat row-gathers over (n, 16) arrays — no
+    reshapes with tiny middle dims (those force expensive TPU relayouts):
+    ``u = a[idx_u]; v = a[idx_v]; a = concat(u + v*tw, u - v*tw)[idx_out]``.
+    """
 
     def __init__(self, spec: FieldSpec, n: int, omega: int):
         self.spec = spec
@@ -35,17 +41,35 @@ class NttPlan:
         self.logn = logn
         self.rev_idx = np.array([bit_reverse(i, logn) for i in range(n)], dtype=np.int32)
         r = spec.r_mod_p
-        self.stage_twiddles = []
+        self.stage_twiddles = []  # (half, 16) per stage (kept for 4-step reuse)
+        self.stage_tw_full = []  # (n/2, 16) per stage, tiled per group
+        self.stage_idx_u = []
+        self.stage_idx_v = []
+        self.stage_idx_out = []
         length = 2
         while length <= n:
             half = length // 2
+            groups = n // length
             w_len = pow(omega, n // length, field.modulus)
             tw = []
             w = 1
             for _ in range(half):
                 tw.append(int_to_limbs(w * r % field.modulus))  # Montgomery form
                 w = w * w_len % field.modulus
-            self.stage_twiddles.append(np.stack(tw))
+            tw = np.stack(tw)
+            self.stage_twiddles.append(tw)
+            self.stage_tw_full.append(np.tile(tw, (groups, 1)))
+            # pair index (g, j): u at g*length + j, v at g*length + j + half
+            g = np.repeat(np.arange(groups), half)
+            j = np.tile(np.arange(half), groups)
+            idx_u = (g * length + j).astype(np.int32)
+            idx_v = (g * length + j + half).astype(np.int32)
+            idx_out = np.zeros(n, dtype=np.int32)
+            idx_out[idx_u] = np.arange(n // 2)  # s0 block of the concat
+            idx_out[idx_v] = np.arange(n // 2) + n // 2  # s1 block
+            self.stage_idx_u.append(idx_u)
+            self.stage_idx_v.append(idx_v)
+            self.stage_idx_out.append(idx_out)
             length *= 2
 
 
@@ -55,24 +79,50 @@ def plan_for(modulus: int, n: int, omega: int) -> NttPlan:
     return NttPlan(spec, n, omega)
 
 
+import os
+
+_PALLAS_NTT = os.environ.get("BZ_PALLAS_NTT", "") not in ("", "0")
+
+
 def ntt(plan: NttPlan, a):
     """NTT of Montgomery-form limbs, shape (..., n, 16); natural order in
-    and out."""
+    and out. With BZ_PALLAS_NTT=1 (TPU only) each stage runs as one fused
+    Pallas butterfly kernel."""
     spec = plan.spec
     n = plan.n
     batch = a.shape[:-2]
+    use_fused = _PALLAS_NTT and _pallas_ok()
     a = jnp.take(a, jnp.asarray(plan.rev_idx), axis=-2)
-    for stage, tw in enumerate(plan.stage_twiddles):
-        half = tw.shape[0]
-        length = half * 2
-        groups = n // length
-        a = a.reshape(batch + (groups, 2, half, L.NLIMBS))
-        u = a[..., 0, :, :]
-        v = L.mont_mul(spec, a[..., 1, :, :], jnp.asarray(tw))
-        out0 = L.add(spec, u, v)
-        out1 = L.sub(spec, u, v)
-        a = jnp.stack([out0, out1], axis=-3).reshape(batch + (n, L.NLIMBS))
+    for stage in range(plan.logn):
+        idx_u = jnp.asarray(plan.stage_idx_u[stage])
+        idx_v = jnp.asarray(plan.stage_idx_v[stage])
+        idx_out = jnp.asarray(plan.stage_idx_out[stage])
+        tw_full = jnp.asarray(plan.stage_tw_full[stage])
+        u = jnp.take(a, idx_u, axis=-2)
+        v = jnp.take(a, idx_v, axis=-2)
+        if use_fused:
+            from .pallas_kernels import butterfly_stage
+
+            b_flat = 1
+            for d in batch:
+                b_flat *= d
+            u2 = u.reshape(max(1, b_flat), n // 2, L.NLIMBS)
+            v2 = v.reshape(max(1, b_flat), n // 2, L.NLIMBS)
+            out0, out1 = butterfly_stage(spec, u2, v2, tw_full)
+            out0 = out0.reshape(batch + (n // 2, L.NLIMBS))
+            out1 = out1.reshape(batch + (n // 2, L.NLIMBS))
+        else:
+            vt = L.mont_mul(spec, v, tw_full)
+            out0 = L.add(spec, u, vt)
+            out1 = L.sub(spec, u, vt)
+        a = jnp.take(jnp.concatenate([out0, out1], axis=-2), idx_out, axis=-2)
     return a
+
+
+def _pallas_ok() -> bool:
+    import jax
+
+    return jax.default_backend() == "tpu"
 
 
 def intt(plan_inv: NttPlan, a, n_inv_mont):

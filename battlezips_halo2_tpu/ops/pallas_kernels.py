@@ -1,0 +1,197 @@
+"""Fused Pallas TPU kernels for the hot limb pipelines.
+
+The jnp formulation of a Montgomery multiply is ~150 elementwise ops + 2
+matmuls; XLA materializes many intermediates to HBM, making NTT stages and
+point additions memory-bound. These kernels run the SAME limb code
+(fields/limb.py with threaded LimbConsts) inside a Pallas block so every
+intermediate stays in VMEM/registers and HBM traffic drops to the operands:
+
+* ``butterfly_stage`` — one whole NTT stage: (u, v, tw) -> (u + v*tw, u - v*tw)
+* ``point_add_rows``  — one full Jacobian point addition (the MSM combine)
+* ``mont_mul_rows``   — standalone fused Montgomery multiply
+
+Kernels are gated to the TPU backend (the pure-jnp path remains the
+reference everywhere); equivalence tests run them in interpreter mode.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..fields import limb as L
+from ..fields.limb import FieldSpec, LimbConsts
+
+
+def use_pallas() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _pick_tile(rows: int, target: int = 512) -> int:
+    t = min(rows, target)
+    while rows % t:
+        t //= 2
+    return max(t, 1)
+
+
+def _const_arrays(spec: FieldSpec):
+    """Host-side constant operand list (all >= 2D for TPU layout)."""
+    full, low = L._conv_mats()
+    return (
+        jnp.asarray(full),
+        jnp.asarray(low),
+        jnp.asarray(spec.p_limbs[None, :]),
+        jnp.asarray(spec.p17.astype(np.int32)[None, :]),
+        jnp.asarray(spec.nprime_limbs[None, :]),
+        jnp.asarray(spec.one_mont[None, :]),
+    )
+
+
+def _const_specs():
+    def fixed(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda *ids: (0,) * nd, memory_space=pltpu.VMEM)
+
+    return [
+        fixed((4 * L.NLIMBS * L.NLIMBS, 2 * L.NLIMBS + 2)),
+        fixed((4 * L.NLIMBS * L.NLIMBS, L.NLIMBS)),
+        fixed((1, L.NLIMBS)),
+        fixed((1, 17)),
+        fixed((1, L.NLIMBS)),
+        fixed((1, L.NLIMBS)),
+    ]
+
+
+def _consts_from_refs(refs):
+    conv_full, conv_low, p, p17, nprime, one = refs
+    return LimbConsts(
+        conv_full=conv_full[:],
+        conv_low=conv_low[:],
+        p_limbs=p[0, :],
+        p17_i32=p17[0, :],
+        nprime=nprime[0, :],
+        one_mont=one[0, :],
+        in_kernel=True,
+    )
+
+
+# ------------------------------------------------------------- butterfly
+@functools.lru_cache(maxsize=None)
+def _butterfly_call(modulus: int, batch: int, n2: int, interpret: bool):
+    spec = FieldSpec.make(modulus)
+    tile = _pick_tile(n2)
+    grid = (batch, n2 // tile)
+    row_spec = pl.BlockSpec((1, tile, L.NLIMBS), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM)
+    tw_spec = pl.BlockSpec((tile, L.NLIMBS), lambda b, t: (t, 0), memory_space=pltpu.VMEM)
+    cspecs = _const_specs()
+
+    def kernel(u_ref, v_ref, tw_ref, *rest):
+        crefs, outs = rest[:6], rest[6:]
+        cst = _consts_from_refs(crefs)
+        u = u_ref[:]
+        vt = L.mont_mul(spec, v_ref[:], tw_ref[:], cst)
+        outs[0][:] = L.add(spec, u, vt, cst)
+        outs[1][:] = L.sub(spec, u, vt, cst)
+
+    consts = _const_arrays(spec)
+
+    def call(u, v, tw):
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[row_spec, row_spec, tw_spec] + cspecs,
+            out_specs=[row_spec, row_spec],
+            out_shape=[jax.ShapeDtypeStruct((batch, n2, L.NLIMBS), jnp.uint32)] * 2,
+            interpret=interpret,
+        )(u, v, tw, *consts)
+
+    return call
+
+
+def butterfly_stage(spec: FieldSpec, u, v, tw, interpret: bool = False):
+    """u, v: (B, n2, 16); tw: (n2, 16) Montgomery twiddles ->
+    (u + v*tw, u - v*tw)."""
+    batch, n2, _ = u.shape
+    return _butterfly_call(spec.modulus, batch, n2, interpret)(u, v, tw)
+
+
+# ------------------------------------------------------------- point add
+@functools.lru_cache(maxsize=None)
+def _point_add_call(modulus: int, rows: int, interpret: bool):
+    from ..curves.limb import JacobianPoint, point_add
+
+    spec = FieldSpec.make(modulus)
+    tile = _pick_tile(rows, 256)
+    grid = (rows // tile,)
+    blk = pl.BlockSpec((tile, L.NLIMBS), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    cspecs = _const_specs()
+
+    def kernel(px, py, pz, qx, qy, qz, *rest):
+        crefs, outs = rest[:6], rest[6:]
+        cst = _consts_from_refs(crefs)
+        p = JacobianPoint(px[:], py[:], pz[:])
+        q = JacobianPoint(qx[:], qy[:], qz[:])
+        r = point_add(spec, p, q, cst)
+        outs[0][:] = r.x
+        outs[1][:] = r.y
+        outs[2][:] = r.z
+
+    consts = _const_arrays(spec)
+
+    def call(p, q):
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[blk] * 6 + cspecs,
+            out_specs=[blk] * 3,
+            out_shape=[jax.ShapeDtypeStruct((rows, L.NLIMBS), jnp.uint32)] * 3,
+            interpret=interpret,
+        )(p.x, p.y, p.z, q.x, q.y, q.z, *consts)
+        return JacobianPoint(*out)
+
+    return call
+
+
+def point_add_rows(spec: FieldSpec, p, q, interpret: bool = False):
+    """Fused Jacobian addition for (rows, 16) leaf shapes."""
+    rows = p.x.shape[0]
+    return _point_add_call(spec.modulus, rows, interpret)(p, q)
+
+
+# ------------------------------------------------------------- mont mul
+@functools.lru_cache(maxsize=None)
+def _mont_mul_call(modulus: int, rows: int, interpret: bool):
+    spec = FieldSpec.make(modulus)
+    tile = _pick_tile(rows, 512)
+    grid = (rows // tile,)
+    blk = pl.BlockSpec((tile, L.NLIMBS), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    cspecs = _const_specs()
+
+    def kernel(a_ref, b_ref, *rest):
+        crefs, outs = rest[:6], rest[6:]
+        cst = _consts_from_refs(crefs)
+        outs[0][:] = L.mont_mul(spec, a_ref[:], b_ref[:], cst)
+
+    consts = _const_arrays(spec)
+
+    def call(a, b):
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[blk, blk] + cspecs,
+            out_specs=blk,
+            out_shape=jax.ShapeDtypeStruct((rows, L.NLIMBS), jnp.uint32),
+            interpret=interpret,
+        )(a, b, *consts)
+
+    return call
+
+
+def mont_mul_rows(spec: FieldSpec, a, b, interpret: bool = False):
+    rows = a.shape[0]
+    return _mont_mul_call(spec.modulus, rows, interpret)(a, b)

@@ -62,6 +62,22 @@ class ProvingKey:
     fixed_values: list  # per fixed column (incl selectors): length-n ints
     fixed_polys: list  # coeff form
 
+    # --- persistence (SURVEY.md §5.4: checkpoint/artifact store) ----------
+    def save(self, path):
+        import pickle
+        from pathlib import Path
+
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
+        with open(path, "wb") as f:
+            pickle.dump(self, f)
+
+    @staticmethod
+    def load(path) -> "ProvingKey":
+        import pickle
+
+        with open(path, "rb") as f:
+            return pickle.load(f)
+
 
 def num_fixed_total(cs: ConstraintSystem) -> int:
     return cs.num_fixed + len(cs.selectors)
