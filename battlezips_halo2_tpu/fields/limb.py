@@ -204,6 +204,40 @@ def _conv_mats():
     return _CONV_MAT
 
 
+_CONV_MAT_J = None
+
+
+def _conv_mats_jmajor():
+    """Same accumulation matrices with rows ordered j-major (r = j*16 + i):
+    matches the reshape-free product layout used inside Pallas kernels
+    (Mosaic cannot lower the rank-3 flatten of the i-major path)."""
+    global _CONV_MAT_J
+    if _CONV_MAT_J is None:
+
+        def build(lo_t, hi_t):
+            lo = np.transpose(lo_t, (1, 0, 2)).reshape(NLIMBS * NLIMBS, -1).astype(np.float32)
+            hi = np.transpose(hi_t, (1, 0, 2)).reshape(NLIMBS * NLIMBS, -1).astype(np.float32)
+            return np.concatenate([lo, 256.0 * lo, hi, 256.0 * hi]).astype(jnp.bfloat16)
+
+        _CONV_MAT_J = (build(_CONV_LO, _CONV_HI), build(_CONV_LO16, _CONV_HI16))
+    return _CONV_MAT_J
+
+
+def _split_products_jmajor(a, b):
+    """(..., 1024) bf16 chunk vector, reshape-free (j-major column order):
+    column r = j*16 + i holds chunks of a_i * b_j."""
+    a = a.astype(U32)
+    b = b.astype(U32)
+    parts = [a * b[..., j : j + 1] for j in range(NLIMBS)]
+    prod = jnp.concatenate(parts, axis=-1)  # (..., 256)
+    c0 = prod & 0xFF
+    c1 = (prod >> 8) & 0xFF
+    c2 = (prod >> 16) & 0xFF
+    c3 = prod >> 24
+    chunks = jnp.concatenate([c0, c1, c2, c3], axis=-1)
+    return chunks.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+
+
 from typing import NamedTuple
 
 
@@ -290,10 +324,12 @@ def _mul_lanes_vpu(a, b, out_lanes: int):
 
 def _mul_lanes(a, b, conv_full, in_kernel: bool = False):
     """Full 16x16 schoolbook product as (..., 34) unnormalized uint32 lanes
-    (each lane < 2^22): one u32 multiply + one bf16 MXU matmul (or the VPU
-    path inside Pallas kernels)."""
+    (each lane < 2^22): one u32 multiply + one bf16 MXU matmul. Inside
+    Pallas kernels the reshape-free j-major layout is used (the consts then
+    carry the j-major matrices)."""
     if in_kernel:
-        return _mul_lanes_vpu(a, b, 2 * NLIMBS + 2)
+        t = _exact_matmul(_split_products_jmajor(a, b), conv_full)
+        return t.astype(jnp.int32).astype(U32)
     t = _exact_matmul(_split_products(a, b), conv_full)
     return t.astype(jnp.int32).astype(U32)
 
@@ -301,7 +337,7 @@ def _mul_lanes(a, b, conv_full, in_kernel: bool = False):
 def _mul_low16(a, b, conv_low, in_kernel: bool = False):
     """Low 16 limbs of a*b mod 2^256, canonical."""
     if in_kernel:
-        t = _mul_lanes_vpu(a, b, NLIMBS)
+        t = _exact_matmul(_split_products_jmajor(a, b), conv_low).astype(jnp.int32).astype(U32)
     else:
         t = _exact_matmul(_split_products(a, b), conv_low).astype(jnp.int32).astype(U32)
     # carry-propagate 16 lanes, dropping the final carry (mod 2^256)

@@ -40,8 +40,10 @@ def _pick_tile(rows: int, target: int = 512) -> int:
 
 
 def _const_arrays(spec: FieldSpec):
-    """Host-side constant operand list (all >= 2D for TPU layout)."""
-    full, low = L._conv_mats()
+    """Host-side constant operand list (all >= 2D for TPU layout).
+    Kernels consume the j-major product layout, so they get the j-major
+    accumulation matrices."""
+    full, low = L._conv_mats_jmajor()
     return (
         jnp.asarray(full),
         jnp.asarray(low),

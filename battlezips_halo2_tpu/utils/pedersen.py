@@ -7,16 +7,34 @@ base-field message m is lifted to the scalar field by byte-repr
 reinterpretation (valid since p < q... both orders, canonical reprs always
 decode; pedersen.rs:24 follows the Orchard spec's lift).
 
-Until the hash-to-curve derivation lands, the generators are loaded from the
-reference's own fixed-base tables (board_commit_{v,r}.rs GENERATOR bytes) —
-public constants used as golden vectors.
+The generators are DERIVED via the from-scratch SSWU hash-to-curve
+(curves/hashtocurve.py) and cross-checked at import time against the
+reference's published GENERATOR bytes (board_commit_{v,r}.rs) — byte
+equality of the two sources is itself a standing parity test.
 """
 
 from __future__ import annotations
 
-from .constants import BOARD_COMMIT_R_GENERATOR, BOARD_COMMIT_V_GENERATOR
+from .constants import (
+    BOARD_COMMIT_R_GENERATOR,
+    BOARD_COMMIT_V_GENERATOR,
+    BOARD_COMMITMENT_PERSONALIZATION,
+    BOARD_COMMITMENT_R_BYTES,
+    BOARD_COMMITMENT_V_BYTES,
+)
 from ..curves.host import PALLAS, Point
 from ..fields.host import FP, FQ
+
+
+def derived_generators():
+    """Generators from the SSWU hash (must equal the pinned table bytes)."""
+    from ..curves.hashtocurve import hash_to_curve
+
+    hasher = hash_to_curve(PALLAS, BOARD_COMMITMENT_PERSONALIZATION)
+    v = hasher(BOARD_COMMITMENT_V_BYTES)
+    r = hasher(BOARD_COMMITMENT_R_BYTES)
+    assert v == BOARD_COMMIT_V_GENERATOR and r == BOARD_COMMIT_R_GENERATOR
+    return v, r
 
 
 def lift_to_scalar(message_fp: int) -> int:
