@@ -41,7 +41,7 @@ def _cached_pk(name: str, params, make_circuit):
     call; SURVEY.md §5.4)."""
     from .plonk.keygen import ProvingKey
 
-    path = _artifact_dir() / f"pk_{name}_{params.k}.pkl"
+    path = _artifact_dir() / f"pk_h2c_{name}_{params.k}.pkl"
     if path.exists():
         try:
             return ProvingKey.load(path)

@@ -56,7 +56,15 @@ def _derive_point(curve: Curve, label: bytes, index: int) -> Point:
 @dataclass
 class Params:
     """SRS for circuits up to 2^k rows: G vector, U (inner-product base),
-    W (blinding base)."""
+    W (blinding base).
+
+    Default derivation follows halo2 0.2.0's ``Params::new``: every point is
+    ``hash_to_curve("Halo2-Parameters")`` on Vesta — G_i from the u32 LE
+    index bytes, W and U from b"w"/b"u" — using our from-scratch SSWU
+    implementation (byte-validated against the reference's Pallas
+    generators; the Vesta instantiation uses the identical derived
+    convention). ``new_try_increment`` keeps the previous self-consistent
+    derivation."""
 
     k: int
     g: list  # n Vesta points
@@ -65,6 +73,17 @@ class Params:
 
     @staticmethod
     def new(k: int) -> "Params":
+        from ..curves.hashtocurve import hash_to_curve
+
+        hasher = hash_to_curve(VESTA, "Halo2-Parameters")
+        n = 1 << k
+        g = [hasher(i.to_bytes(4, "little")) for i in range(n)]
+        w = hasher(b"w")
+        u = hasher(b"u")
+        return Params(k, g, u, w)
+
+    @staticmethod
+    def new_try_increment(k: int) -> "Params":
         n = 1 << k
         g = [_derive_point(VESTA, b"g", i) for i in range(n)]
         u = _derive_point(VESTA, b"u", 0)
@@ -98,7 +117,7 @@ class Params:
 
 @lru_cache(maxsize=4)
 def cached_params(k: int) -> Params:
-    cache = Path(__file__).resolve().parent.parent.parent / ".artifacts" / f"srs_{k}.json"
+    cache = Path(__file__).resolve().parent.parent.parent / ".artifacts" / f"srs_h2c_{k}.json"
     if cache.exists():
         return Params.load(cache)
     params = Params.new(k)

@@ -79,15 +79,19 @@ def bench_msm(log_size: int, iters: int):
         acc, _ = jax.lax.scan(body, infinity(spec), dstack)
         return acc
 
+    # warm the chained executable; gate correctness on its result: the sum
+    # of all K variant-MSMs equals a 256-point host Pippenger over scalars
+    # collapsed across variants (points repeat every 256)
     t0 = time.time()
-    out = f(jac.x, jac.y, qinf, variants[0][1])
-    out = jacobian_to_affine_host(spec, JacobianPoint(out.x[None], out.y[None], out.z[None]))
-    compile_and_first = time.time() - t0
-    got = out[0]
-
-    # warm the chained executable, then time it (result forced to host)
     r = chained(jac.x, jac.y, qinf, digit_stack)
-    _ = jacobian_to_affine_host(spec, JacobianPoint(r.x[None], r.y[None], r.z[None]))
+    got = jacobian_to_affine_host(spec, JacobianPoint(r.x[None], r.y[None], r.z[None]))[0]
+    compile_and_first = time.time() - t0
+    collapsed = [0] * 256
+    for vs, _ in variants:
+        for i, s in enumerate(vs):
+            collapsed[i % 256] = (collapsed[i % 256] + s) % VESTA.scalar.modulus
+    assert got == VESTA.pippenger(base_pts, collapsed), "device MSM mismatch vs host reference"
+
     t0 = time.time()
     r = chained(jac.x, jac.y, qinf, digit_stack[::-1])
     _ = jacobian_to_affine_host(spec, JacobianPoint(r.x[None], r.y[None], r.z[None]))
