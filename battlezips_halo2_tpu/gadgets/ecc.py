@@ -193,9 +193,16 @@ class EccChip:
         )
 
     # ------------------------------------------------------------------
-    def _mul_region(self, layouter: Layouter, table: FixedBase, windows: list[int], alpha_cell):
+    def _mul_region(self, layouter: Layouter, table: FixedBase, windows: list[int], alpha_cell, max_bits=None):
         """Shared synthesis of a fixed-base mul; binds the running sum to
-        ``alpha_cell`` when given (base-field-element mode)."""
+        ``alpha_cell`` when given (base-field-element mode).
+
+        ``max_bits``: when the scalar is known (and elsewhere constrained)
+        to be < 2^max_bits, the running sum is additionally pinned to zero
+        from window ceil(max_bits/3) on — this removes the K vs K+p
+        decomposition ambiguity (the 255-bit window range leaves two
+        integers congruent to alpha mod p; forcing the tail windows to zero
+        keeps K < 2^(3*ceil(max_bits/3)) < p, so K = alpha exactly)."""
         cfg = self.config
 
         # host-side trace
@@ -239,11 +246,14 @@ class EccChip:
                 else:
                     region.enable_selector("add_inc", cfg.q_add_incomplete, wi)
             if alpha_cell is not None:
+                cutoff = NUM_WINDOWS if max_bits is None else -(-max_bits // 3)
                 z0 = region.assign_advice("z_run 0", cfg.z_run, 0, zs[0])
                 region.constrain_equal(z0, alpha_cell)
                 for i in range(1, NUM_WINDOWS + 1):
                     zc = region.assign_advice(f"z_run {i}", cfg.z_run, i, zs[i])
-                    if i == NUM_WINDOWS:
+                    if i >= cutoff:
+                        # canonicity: all windows past the scalar's bit bound
+                        # are zero (z_i == 0 forces w_j == 0 for j >= cutoff)
                         region.constrain_constant(zc, 0)
                 for i in range(NUM_WINDOWS):
                     region.enable_selector("run_sum", cfg.q_run_sum, i)
@@ -258,12 +268,13 @@ class EccChip:
         windows = decompose_scalar(scalar % PALLAS.scalar.modulus)
         return self._mul_region(layouter, table, windows, None)
 
-    def mul_base_field(self, layouter: Layouter, table: FixedBase, alpha: AssignedCell):
+    def mul_base_field(self, layouter: Layouter, table: FixedBase, alpha: AssignedCell, max_bits=None):
         """[alpha]B where alpha is an assigned base-field cell
-        (FixedPointBaseField::mul — the message path)."""
+        (FixedPointBaseField::mul — the message path). ``max_bits`` enables
+        the canonical-decomposition tail constraint (see _mul_region)."""
         value = alpha.value if alpha.value is not None else 0
         windows = decompose_scalar(value % FP.modulus)
-        return self._mul_region(layouter, table, windows, alpha)
+        return self._mul_region(layouter, table, windows, alpha, max_bits=max_bits)
 
     # ------------------------------------------------------------------
     def add_complete(self, layouter: Layouter, p: tuple, q: tuple):

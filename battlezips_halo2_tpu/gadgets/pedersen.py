@@ -58,7 +58,9 @@ class PedersenCommitmentChip:
 
         rc.load_table(layouter)
         rc.copy_check(layouter, message, num_words=10, strict=True)
-        v = ecc.mul_base_field(layouter, board_commit_v(), message)
+        # max_bits=102: combined with the 100-bit range check this pins the
+        # window decomposition to the canonical K = message (no K+p alias)
+        v = ecc.mul_base_field(layouter, board_commit_v(), message, max_bits=102)
         r = ecc.mul_full_width(layouter, board_commit_r(), trapdoor)
         return ecc.add_complete(layouter, v, r)
 
