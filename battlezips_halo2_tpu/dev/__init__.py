@@ -11,10 +11,13 @@ from .failures import (
     RegionRef,
     VerifyFailure,
 )
+from .layout import circuit_layout, print_circuit_layout
 from .mock import MockProver
 
 __all__ = [
     "MockProver",
+    "circuit_layout",
+    "print_circuit_layout",
     "VerifyFailure",
     "ConstraintNotSatisfied",
     "ConstraintRef",

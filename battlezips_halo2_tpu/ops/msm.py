@@ -56,6 +56,20 @@ def scalars_to_digits(scalars, c: int = WINDOW_BITS) -> np.ndarray:
     return out
 
 
+def _combine_points(spec: FieldSpec, a: JacobianPoint, b: JacobianPoint) -> JacobianPoint:
+    """The scan combine: one full Jacobian addition. On TPU this runs as a
+    fused Pallas kernel (all ~30 Montgomery muls VMEM-resident — the jnp
+    formulation's chunk expansion costs ~120 HBM touches per lane)."""
+    if a.x.ndim == 2:
+        from .pallas_kernels import use_pallas
+
+        if use_pallas():
+            from .pallas_kernels import point_add_rows
+
+            return point_add_rows(spec, a, b)
+    return point_add(spec, a, b)
+
+
 def _shift_points(pts: JacobianPoint, flags, d, fill_flag):
     """Lane j <- lane j-d; out-of-range lanes become (identity, fill_flag).
     d may be a traced value (gather with computed indices)."""
@@ -72,7 +86,7 @@ def _shift_points(pts: JacobianPoint, flags, d, fill_flag):
 
 def _hillis_steele_scan(spec: FieldSpec, pts: JacobianPoint, head, levels: int):
     """Inclusive *segmented* scan (head-flag operator) with a single
-    point_add instance in the graph: fori_loop over log2(n) levels, dynamic
+    point-add instance in the graph: fori_loop over log2(n) levels, dynamic
     shift distance."""
 
     def level(i, carry):
@@ -80,7 +94,7 @@ def _hillis_steele_scan(spec: FieldSpec, pts: JacobianPoint, head, levels: int):
         d = jnp.left_shift(1, i)
         # fill = the segmented-monoid identity (identity point, flag False)
         sp, sf = _shift_points(p, f, d, jnp.zeros((), bool))
-        merged = point_add(spec, sp, p)
+        merged = _combine_points(spec, sp, p)
         out = select_point(f, p, merged)
         return (out, f | sf)
 
@@ -88,63 +102,69 @@ def _hillis_steele_scan(spec: FieldSpec, pts: JacobianPoint, head, levels: int):
     return out
 
 
-def _segmented_bucket_sums(spec: FieldSpec, pts: JacobianPoint, digits, c: int):
-    """Sorted segmented scan -> (2^c + 1)-slot bucket array (slot 2^c is a
-    trash slot for non-segment-end rows)."""
-    n = digits.shape[0]
-    levels = max(1, (n - 1).bit_length())
-    order = jnp.argsort(digits)
-    d_s = digits[order]
-    pts = JacobianPoint(pts.x[order], pts.y[order], pts.z[order])
+def _msm_device(spec: FieldSpec, qx, qy, qinf, digits, c: int) -> JacobianPoint:
+    """digits: (W, N). The window axis is FOLDED into the row axis — one
+    composite-key sort (key = window * 2^c + digit), one flat segmented scan
+    for every bucket of every window, and two flat segmented scans for the
+    per-window suffix aggregation. Everything operates on 2-D (rows, 16)
+    leaves, which the fused Pallas point-add kernel consumes directly; only
+    the cheap Horner window fold is sequential."""
+    w_count, n = digits.shape
+    nbuck = 1 << c
+    total_rows = w_count * n
+    one = jnp.asarray(spec.one_mont)
 
-    head = jnp.concatenate([jnp.ones(1, bool), d_s[1:] != d_s[:-1]])
+    keys = (jnp.arange(w_count, dtype=jnp.int32)[:, None] * nbuck + digits).reshape(total_rows)
+    order = jnp.argsort(keys)
+    k_s = keys[order]
+    src = order % n  # shared point set: original point index
+    pz = jnp.where(qinf[src][:, None], jnp.zeros((1, 16), jnp.uint32), one[None, :])
+    pts = JacobianPoint(qx[src], qy[src], pz)
+
+    head = jnp.concatenate([jnp.ones(1, bool), k_s[1:] != k_s[:-1]])
+    levels = max(1, (total_rows - 1).bit_length())
     scanned = _hillis_steele_scan(spec, pts, head, levels)
 
-    is_last = jnp.concatenate([d_s[1:] != d_s[:-1], jnp.ones(1, bool)])
-    target = jnp.where(is_last, d_s, 1 << c)
-
-    buckets = infinity(spec, ((1 << c) + 1,))
+    is_last = jnp.concatenate([k_s[1:] != k_s[:-1], jnp.ones(1, bool)])
+    # per-window bucket slots (nbuck + 1 each); one shared trash slot at the end
+    w_of = k_s // nbuck
+    d_of = k_s % nbuck
+    trash = w_count * (nbuck + 1)
+    target = jnp.where(is_last, w_of * (nbuck + 1) + d_of, trash)
+    buckets = infinity(spec, (trash + 1,))
     buckets = JacobianPoint(
         buckets.x.at[target].set(scanned.x),
         buckets.y.at[target].set(scanned.y),
         buckets.z.at[target].set(scanned.z),
     )
-    return buckets
 
-
-def _bucket_aggregate(spec: FieldSpec, buckets: JacobianPoint, c: int) -> JacobianPoint:
-    """sum_b b * S_b for b in [1, 2^c) via double suffix scan
-    (sum_b b*S_b == sum_j sum_{b>=j} S_b)."""
-    sl = slice((1 << c) - 1, 0, -1)
-    rev = JacobianPoint(buckets.x[sl], buckets.y[sl], buckets.z[sl])
-    m = (1 << c) - 1
-    no_head = jnp.zeros(m, bool)
-    suffix = _hillis_steele_scan(spec, rev, no_head, max(1, (m - 1).bit_length()))
-    total = _hillis_steele_scan(spec, suffix, no_head, max(1, (m - 1).bit_length()))
-    return JacobianPoint(total.x[-1], total.y[-1], total.z[-1])
-
-
-def _msm_device(spec: FieldSpec, qx, qy, qinf, digits, c: int) -> JacobianPoint:
-    """digits: (W, N). All windows' bucket pipelines run as ONE vmapped
-    (lane-parallel) computation; only the cheap Horner window fold is
-    sequential (W * (c+1) point ops of depth)."""
-    one = jnp.broadcast_to(jnp.asarray(spec.one_mont), qx.shape)
-    zero = jnp.zeros_like(qx)
-    pts = JacobianPoint(qx, qy, jnp.where(qinf[:, None], zero, one))
-
-    def window_fn(window_digits):
-        buckets = _segmented_bucket_sums(spec, pts, window_digits, c)
-        return _bucket_aggregate(spec, buckets, c)
-
-    wsums = jax.vmap(window_fn)(digits)  # leaves (W, 16)
+    # per-window aggregation: sum_b b*S_b = sum_j (sum_{b>=j} S_b), both sums
+    # as flat segmented scans over the per-window reversed bucket rows
+    m = nbuck - 1
+    rev_idx = np.concatenate(
+        [w * (nbuck + 1) + np.arange(m, 0, -1) for w in range(w_count)]
+    ).astype(np.int32)
+    rev = JacobianPoint(
+        buckets.x[jnp.asarray(rev_idx)],
+        buckets.y[jnp.asarray(rev_idx)],
+        buckets.z[jnp.asarray(rev_idx)],
+    )
+    whead = np.zeros(w_count * m, dtype=bool)
+    whead[::m] = True
+    whead = jnp.asarray(whead)
+    agg_levels = max(1, (w_count * m - 1).bit_length())
+    suffix = _hillis_steele_scan(spec, rev, whead, agg_levels)
+    totals = _hillis_steele_scan(spec, suffix, whead, agg_levels)
+    ends = jnp.asarray(np.arange(1, w_count + 1) * m - 1)
+    wsums = JacobianPoint(totals.x[ends], totals.y[ends], totals.z[ends])
 
     def horner(acc, wsum):
         acc = jax.lax.fori_loop(0, c, lambda _, a: point_double(spec, a), acc)
         acc = point_add(spec, acc, JacobianPoint(wsum[0], wsum[1], wsum[2]))
         return acc, None
 
-    rev = (wsums.x[::-1], wsums.y[::-1], wsums.z[::-1])
-    acc, _ = jax.lax.scan(horner, infinity(spec), rev)
+    rev_w = (wsums.x[::-1], wsums.y[::-1], wsums.z[::-1])
+    acc, _ = jax.lax.scan(horner, infinity(spec), rev_w)
     return acc
 
 

@@ -44,13 +44,16 @@ def _const_arrays(spec: FieldSpec):
     Kernels consume the j-major product layout, so they get the j-major
     accumulation matrices."""
     full, low = L._conv_mats_jmajor()
+    # NUMPY on purpose: these are lifted into whatever trace invokes the
+    # kernel — caching jnp arrays here would leak tracers when the cached
+    # closure is first built inside a jit trace
     return (
-        jnp.asarray(full),
-        jnp.asarray(low),
-        jnp.asarray(spec.p_limbs[None, :]),
-        jnp.asarray(spec.p17.astype(np.int32)[None, :]),
-        jnp.asarray(spec.nprime_limbs[None, :]),
-        jnp.asarray(spec.one_mont[None, :]),
+        np.asarray(full),
+        np.asarray(low),
+        spec.p_limbs[None, :],
+        spec.p17.astype(np.int32)[None, :],
+        spec.nprime_limbs[None, :],
+        spec.one_mont[None, :],
     )
 
 

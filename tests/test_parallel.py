@@ -1,0 +1,43 @@
+"""Multi-chip parallel layer: distributed NTT and sharded MSM bit-exactness
+on the virtual 8-device CPU mesh (the driver separately dryruns the combined
+step via __graft_entry__.dryrun_multichip)."""
+
+import random
+
+import numpy as np
+import pytest
+
+from battlezips_halo2_tpu.curves import VESTA
+from battlezips_halo2_tpu.fields import FP, FP_SPEC, ints_to_limbs, limbs_to_ints
+from battlezips_halo2_tpu.fields import limb as L
+from battlezips_halo2_tpu.parallel import default_mesh, distributed_ntt, sharded_msm
+from battlezips_halo2_tpu.poly.domain import EvaluationDomain, ntt_host
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    return default_mesh(8)
+
+
+def test_distributed_ntt_bit_exact(mesh):
+    dom = EvaluationDomain(10, 9)  # n=1024: C=128, C/D=16
+    rng = random.Random(0)
+    vals = [rng.randrange(FP.modulus) for _ in range(dom.n)]
+    a = L.to_mont(FP_SPEC, ints_to_limbs(vals))
+    out = distributed_ntt(mesh, dom.n, dom.omega, a)
+    got = limbs_to_ints(np.asarray(L.from_mont(FP_SPEC, out)))
+    assert got == ntt_host(vals, dom.omega)
+
+
+def test_sharded_msm_bit_exact(mesh):
+    rng = random.Random(3)
+    n = 256
+    pts = [VESTA.mul(VESTA.generator, rng.randrange(1, 10**12)) for _ in range(n)]
+    scalars = [rng.randrange(VESTA.scalar.modulus) for _ in range(n)]
+    scalars[0] = 0
+    got = sharded_msm(VESTA, pts, scalars, mesh)
+    assert got == VESTA.pippenger(pts, scalars)
