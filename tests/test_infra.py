@@ -1,0 +1,123 @@
+"""Infrastructure pieces: transcript, artifact persistence, layout renderer,
+native library."""
+
+import random
+
+import pytest
+
+from battlezips_halo2_tpu.curves import VESTA
+from battlezips_halo2_tpu.fields import FP, FQ
+from battlezips_halo2_tpu.plonk.transcript import TranscriptRead, TranscriptWrite
+
+
+class TestTranscript:
+    def test_write_read_roundtrip(self):
+        rng = random.Random(0)
+        points = [VESTA.mul(VESTA.generator, rng.randrange(1, 10**9)) for _ in range(3)]
+        scalars = [rng.randrange(FP.modulus) for _ in range(3)]
+        w = TranscriptWrite(VESTA)
+        for p in points:
+            w.write_point(p)
+        c1 = w.squeeze_challenge()
+        for s in scalars:
+            w.write_scalar(s)
+        c2 = w.squeeze_challenge()
+        proof = w.finalize()
+
+        r = TranscriptRead(VESTA, proof)
+        assert [r.read_point() for _ in points] == points
+        assert r.squeeze_challenge() == c1
+        assert [r.read_scalar() for _ in scalars] == scalars
+        assert r.squeeze_challenge() == c2
+        r.assert_consumed()
+
+    def test_challenges_depend_on_absorbed_data(self):
+        w1 = TranscriptWrite(VESTA)
+        w1.write_scalar(1)
+        w2 = TranscriptWrite(VESTA)
+        w2.write_scalar(2)
+        assert w1.squeeze_challenge() != w2.squeeze_challenge()
+
+    def test_identity_point_rejected(self):
+        w = TranscriptWrite(VESTA)
+        with pytest.raises(ValueError):
+            w.write_point(None)
+
+    def test_truncated_proof_rejected(self):
+        w = TranscriptWrite(VESTA)
+        w.write_scalar(7)
+        proof = w.finalize()
+        r = TranscriptRead(VESTA, proof[:16])
+        with pytest.raises(ValueError):
+            r.read_scalar()
+
+
+class TestPersistence:
+    def test_srs_save_load_roundtrip(self, tmp_path):
+        from battlezips_halo2_tpu.pcs.ipa import Params
+
+        params = Params.new(4)
+        path = tmp_path / "srs.json"
+        params.save(path)
+        loaded = Params.load(path)
+        assert loaded.k == params.k
+        assert loaded.g == params.g
+        assert loaded.u == params.u and loaded.w == params.w
+
+    def test_pk_save_load_roundtrip(self, tmp_path):
+        from battlezips_halo2_tpu.pcs.ipa import Params
+        from battlezips_halo2_tpu.plonk import keygen
+        from battlezips_halo2_tpu.plonk.keygen import ProvingKey
+        from test_prover import MulCircuit
+
+        params = Params.new(5)
+        pk = keygen(params, MulCircuit(1, 1, 1))
+        path = tmp_path / "pk.pkl"
+        pk.save(path)
+        loaded = ProvingKey.load(path)
+        assert loaded.vk.digest == pk.vk.digest
+        assert loaded.fixed_polys == pk.fixed_polys
+
+
+class TestLayout:
+    def test_board_layout_renders(self):
+        from battlezips_halo2_tpu.circuits import BoardCircuit
+        from battlezips_halo2_tpu.dev import circuit_layout
+        from battlezips_halo2_tpu.utils import BinaryValue
+
+        c = BoardCircuit([BinaryValue(1)] + [BinaryValue.empty()] * 9, BinaryValue(1), 1)
+        text = circuit_layout(c, 12)
+        assert "Transpose ship commitments" in text
+        assert "% full" in text
+
+
+class TestNative:
+    def test_native_field_ops_if_available(self):
+        from battlezips_halo2_tpu import native
+
+        if not native.available():
+            pytest.skip("native library unavailable")
+        rng = random.Random(1)
+        xs = [rng.randrange(FQ.modulus) for _ in range(8)]
+        ys = [rng.randrange(FQ.modulus) for _ in range(8)]
+        assert native.mul_batch(native.FIELD_FQ, xs, ys, FQ.modulus) == [
+            x * y % FQ.modulus for x, y in zip(xs, ys)
+        ]
+        assert native.inv_batch(native.FIELD_FP, xs) == [pow(x, -1, FP.modulus) for x in xs]
+
+    def test_native_msm_if_available(self):
+        from battlezips_halo2_tpu import native
+        from battlezips_halo2_tpu.curves.host import Curve
+
+        if not native.available():
+            pytest.skip("native library unavailable")
+        rng = random.Random(2)
+        pts = [VESTA.mul(VESTA.generator, rng.randrange(1, 10**9)) for _ in range(40)]
+        scalars = [rng.randrange(VESTA.scalar.modulus) for _ in range(40)]
+        pts[3] = None
+        got = native.msm(native.FIELD_FQ, pts, scalars)
+        # compare vs naive host sum (avoid the pippenger native dispatch)
+        exp = None
+        for p, s in zip(pts, scalars):
+            exp = VESTA.add(exp, VESTA.mul(p, s))
+        assert got == exp
