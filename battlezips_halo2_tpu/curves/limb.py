@@ -139,42 +139,3 @@ def point_add(spec: FieldSpec, p: JacobianPoint, q: JacobianPoint, cst=None) -> 
     out = select_point(q_inf, p, out)
     out = select_point(p_inf, q, out)
     return out
-
-
-def point_add_mixed(spec: FieldSpec, p: JacobianPoint, qx, qy, q_inf) -> JacobianPoint:
-    """P (Jacobian) + Q (affine, Montgomery limbs; q_inf: (...,) bool).
-    Saves ~4 muls vs the general add — the hot path of bucket accumulation."""
-    mul = lambda a, b: L.mont_mul(spec, a, b)
-    add = lambda a, b: L.add(spec, a, b)
-    sub = lambda a, b: L.sub(spec, a, b)
-
-    z1z1 = mul(p.z, p.z)
-    u2 = mul(qx, z1z1)
-    s2 = mul(mul(qy, p.z), z1z1)
-    h = sub(u2, p.x)
-    r = sub(s2, p.y)
-
-    hh = mul(h, h)
-    hhh = mul(h, hh)
-    v = mul(p.x, hh)
-    r2 = mul(r, r)
-    X3 = sub(sub(r2, hhh), add(v, v))
-    Y3 = sub(mul(r, sub(v, X3)), mul(p.y, hhh))
-    Z3 = mul(p.z, h)
-    added = JacobianPoint(X3, Y3, Z3)
-
-    doubled = point_double(spec, p)
-
-    p_inf = L.is_zero(p.z)
-    h_zero = L.is_zero(h)
-    r_zero = L.is_zero(r)
-
-    one = jnp.broadcast_to(jnp.asarray(spec.one_mont), qx.shape)
-    q_jac = JacobianPoint(qx, qy, one)
-
-    inf = infinity(spec, p.x.shape[:-1])
-    out = select_point(h_zero & r_zero, doubled, added)
-    out = select_point(h_zero & ~r_zero, inf, out)
-    out = select_point(q_inf, p, out)
-    out = select_point(p_inf & ~q_inf, q_jac, out)
-    return out

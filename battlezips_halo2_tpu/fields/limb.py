@@ -294,34 +294,6 @@ def _exact_matmul(x, m):
     return jnp.matmul(x, m, preferred_element_type=jnp.float32)
 
 
-def _mul_lanes_vpu(a, b, out_lanes: int):
-    """Pallas-safe schoolbook product: 16 shifted row accumulations, all
-    2-D vector ops (VPU inside a kernel, intermediates stay in VMEM)."""
-    a = a.astype(U32)
-    b = b.astype(U32)
-    batch = a.shape[:-1]
-
-    def shifted(row, shift):
-        width = row.shape[-1]
-        keep = min(width, out_lanes - shift)
-        parts = []
-        if shift:
-            parts.append(jnp.zeros(batch + (shift,), dtype=U32))
-        parts.append(row[..., :keep])
-        tail = out_lanes - shift - keep
-        if tail:
-            parts.append(jnp.zeros(batch + (tail,), dtype=U32))
-        return jnp.concatenate(parts, axis=-1)
-
-    t = jnp.zeros(batch + (out_lanes,), dtype=U32)
-    for j in range(NLIMBS):
-        prod = a * b[..., j : j + 1]  # (..., 16) u32, exact
-        t = t + shifted(prod & MASK, j)
-        if j + 1 < out_lanes:
-            t = t + shifted(prod >> LIMB_BITS, j + 1)
-    return t
-
-
 def _mul_lanes(a, b, conv_full, in_kernel: bool = False):
     """Full 16x16 schoolbook product as (..., 34) unnormalized uint32 lanes
     (each lane < 2^22): one u32 multiply + one bf16 MXU matmul. Inside

@@ -131,7 +131,9 @@ def _point_add_call(modulus: int, rows: int, interpret: bool):
     from ..curves.limb import JacobianPoint, point_add
 
     spec = FieldSpec.make(modulus)
-    tile = _pick_tile(rows, 256)
+    # tile 128: ~30 live Montgomery muls × (tile, 1024) bf16 intermediates
+    # must fit the 16MB VMEM scoped-stack budget
+    tile = _pick_tile(rows, 128)
     grid = (rows // tile,)
     blk = pl.BlockSpec((tile, L.NLIMBS), lambda i: (i, 0), memory_space=pltpu.VMEM)
     cspecs = _const_specs()

@@ -13,9 +13,9 @@ argument with Bulletproofs-style folding:
     final check: [a0] G_fin + [a0 * b_fin] U' + [r_fin] W
                    == P + [v] U' + sum_j ([u_j^2] L_j + [u_j^-2] R_j)
 
-SRS derivation is our own deterministic try-and-increment hash (domain
-"battlezips-tpu:srs:*"); byte-parity with halo2's hash_to_curve-derived
-Params is tracked as a follow-up (SURVEY.md §7.3 item 1).
+SRS derivation follows halo2 0.2.0 (hash_to_curve("Halo2-Parameters") on
+Vesta via the from-scratch SSWU in curves/hashtocurve.py); a documented
+try-and-increment fallback derivation is kept for comparison.
 """
 
 from __future__ import annotations
@@ -145,13 +145,6 @@ def commit_many(params: Params, polys: list, blinds: list) -> list[Point]:
     points = params.g + [params.w]
     scalars_list = [list(p) + [0] * (params.n - len(p)) + [b] for p, b in zip(polys, blinds)]
     return msm_many(VESTA, points, scalars_list)
-
-
-def commit_lagrange(params: Params, values: list[int], blind: int) -> Point:
-    """Commit to values in the Lagrange basis — identical MSM shape since G
-    is basis-agnostic for binding; the PLONK layer converts beforehand. Kept
-    for API parity."""
-    return commit(params, values, blind)
 
 
 def _inner(a: list[int], b: list[int]) -> int:
