@@ -56,11 +56,19 @@ def scalars_to_digits(scalars, c: int = WINDOW_BITS) -> np.ndarray:
     return out
 
 
+import os
+
+_PALLAS_MSM = os.environ.get("BZ_PALLAS_MSM", "") not in ("", "0")
+
+
 def _combine_points(spec: FieldSpec, a: JacobianPoint, b: JacobianPoint) -> JacobianPoint:
-    """The scan combine: one full Jacobian addition. On TPU this runs as a
-    fused Pallas kernel (all ~30 Montgomery muls VMEM-resident — the jnp
-    formulation's chunk expansion costs ~120 HBM touches per lane)."""
-    if a.x.ndim == 2:
+    """The scan combine: one full Jacobian addition.
+
+    BZ_PALLAS_MSM=1 routes through the fused Pallas kernel (all ~30
+    Montgomery muls VMEM-resident). Opt-in: on the current toolchain the
+    large-grid kernel has crashed the TPU worker (kernel fault) — the jnp
+    path is the stable default."""
+    if _PALLAS_MSM and a.x.ndim == 2:
         from .pallas_kernels import use_pallas
 
         if use_pallas():

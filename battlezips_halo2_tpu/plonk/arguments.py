@@ -19,6 +19,38 @@ from .keygen import DELTA, num_fixed_total, selector_column_index
 P = FP.modulus
 
 
+def _obj_array(values):
+    import numpy as np
+
+    out = np.empty(len(values), dtype=object)
+    for i, v in enumerate(values):
+        out[i] = v % P
+    return out
+
+
+def _lagrange_basis_extended(domain, rows: list[int]) -> dict[int, np.ndarray]:
+    """l_i(X) on the extended coset for the given row indices (batch-inverted)."""
+    m = P
+    ext = domain.extended_n
+    t_ext = domain.t_extended()
+    xs = []
+    acc = domain.g_coset
+    for _ in range(ext):
+        xs.append(acc)
+        acc = acc * domain.extended_omega % m
+    out = {}
+    omega = domain.omega
+    for i in rows:
+        wi = pow(omega, i, m)
+        denoms = [(domain.n * (x - wi)) % m for x in xs]
+        invs = FP.batch_inv(denoms)
+        out[i] = _obj_array([wi * t % m * inv % m for t, inv in zip(t_ext, invs)])
+    return out
+
+
+
+
+
 @dataclass(frozen=True)
 class ProofSchedule:
     """Canonical query ordering + argument shapes, derived purely from the

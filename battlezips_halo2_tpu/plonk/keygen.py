@@ -68,8 +68,14 @@ class ProvingKey:
         from pathlib import Path
 
         Path(path).parent.mkdir(parents=True, exist_ok=True)
-        with open(path, "wb") as f:
-            pickle.dump(self, f)
+        # the lazily-attached jitted quotient evaluator is unpicklable
+        ev = self.vk.__dict__.pop("_quotient_evaluator", None)
+        try:
+            with open(path, "wb") as f:
+                pickle.dump(self, f)
+        finally:
+            if ev is not None:
+                self.vk._quotient_evaluator = ev
 
     @staticmethod
     def load(path) -> "ProvingKey":

@@ -22,6 +22,18 @@ import time
 import numpy as np
 
 _TRACE = os.environ.get("BZ_TPU_TRACE", "") not in ("", "0")
+_HOST_QUOTIENT = os.environ.get("BZ_HOST_QUOTIENT", "") not in ("", "0")
+
+
+def _get_quotient_evaluator(vk, schedule):
+    """One compiled evaluator per verifying key (cached on the vk)."""
+    ev = getattr(vk, "_quotient_evaluator", None)
+    if ev is None:
+        from ..ops.gate_eval import QuotientEvaluator
+
+        ev = QuotientEvaluator(vk, schedule)
+        vk._quotient_evaluator = ev
+    return ev
 
 
 class _Phase:
@@ -47,6 +59,7 @@ from ..poly.domain import eval_poly_coeffs
 from ..poly.transforms import batch_coeff_to_extended, batch_lagrange_to_coeff
 from .arguments import (
     ProofSchedule,
+    _lagrange_basis_extended,
     evaluate_expression,
     lookup_terms,
     permutation_terms,
@@ -65,26 +78,6 @@ def _obj_array(values: list[int]) -> np.ndarray:
     out = np.empty(len(values), dtype=object)
     for i, v in enumerate(values):
         out[i] = v % P
-    return out
-
-
-def _lagrange_basis_extended(domain, rows: list[int]) -> dict[int, np.ndarray]:
-    """l_i(X) on the extended coset for the given row indices (batch-inverted)."""
-    m = P
-    ext = domain.extended_n
-    t_ext = domain.t_extended()
-    xs = []
-    acc = domain.g_coset
-    for _ in range(ext):
-        xs.append(acc)
-        acc = acc * domain.extended_omega % m
-    out = {}
-    omega = domain.omega
-    for i in rows:
-        wi = pow(omega, i, m)
-        denoms = [(domain.n * (x - wi)) % m for x in xs]
-        invs = FP.batch_inv(denoms)
-        out[i] = _obj_array([wi * t % m * inv % m for t, inv in zip(t_ext, invs)])
     return out
 
 
@@ -288,119 +281,143 @@ def create_proof(
     y = transcript.squeeze_challenge()
 
     # --- quotient over the extended coset ----------------------------------
-    ctx = _ExtendedCtx(domain, usable)
-    phase.mark("extended ctx (lagrange basis)")
+    if _HOST_QUOTIENT:
+        ctx = _ExtendedCtx(domain, usable)
+        phase.mark("extended ctx (lagrange basis)")
 
-    to_extend: list[list[int]] = []
-    ext_index: dict = {}
+        to_extend: list[list[int]] = []
+        ext_index: dict = {}
 
-    def register(key, poly):
-        if key not in ext_index:
-            ext_index[key] = len(to_extend)
-            to_extend.append(poly)
+        def register(key, poly):
+            if key not in ext_index:
+                ext_index[key] = len(to_extend)
+                to_extend.append(poly)
 
-    for i, poly in enumerate(advice_polys):
-        register(("advice", i), poly)
-    for i, poly in enumerate(fixed_polys):
-        register(("fixed", i), poly)
-    for i, poly in enumerate(instance_polys):
-        register(("instance", i), poly)
-    for i, poly in enumerate(perm_z_polys):
-        register(("perm_z", i), poly)
-    for i, poly in enumerate(perm.sigma_polys):
-        register(("sigma", i), poly)
-    for i, (a_poly, _, s_poly, _) in enumerate(lookup_perm_polys):
-        register(("lk_a", i), a_poly)
-        register(("lk_s", i), s_poly)
-    for i, (z_poly, _) in enumerate(lookup_z_polys):
-        register(("lk_z", i), z_poly)
+        for i, poly in enumerate(advice_polys):
+            register(("advice", i), poly)
+        for i, poly in enumerate(fixed_polys):
+            register(("fixed", i), poly)
+        for i, poly in enumerate(instance_polys):
+            register(("instance", i), poly)
+        for i, poly in enumerate(perm_z_polys):
+            register(("perm_z", i), poly)
+        for i, poly in enumerate(perm.sigma_polys):
+            register(("sigma", i), poly)
+        for i, (a_poly, _, s_poly, _) in enumerate(lookup_perm_polys):
+            register(("lk_a", i), a_poly)
+            register(("lk_s", i), s_poly)
+        for i, (z_poly, _) in enumerate(lookup_z_polys):
+            register(("lk_z", i), z_poly)
 
-    phase.mark("gather polys")
-    extended = batch_coeff_to_extended(domain, to_extend)
-    ext_arrays = {key: _obj_array(extended[idx]) for key, idx in ext_index.items()}
-    phase.mark("extended NTTs")
+        phase.mark("gather polys")
+        extended = batch_coeff_to_extended(domain, to_extend)
+        ext_arrays = {key: _obj_array(extended[idx]) for key, idx in ext_index.items()}
+        phase.mark("extended NTTs")
 
-    def ext_cell(column, rot):
-        if column.kind == ColumnType.ADVICE:
-            return ctx.rotated(ext_arrays[("advice", column.index)], rot)
-        if column.kind == ColumnType.FIXED:
-            return ctx.rotated(ext_arrays[("fixed", column.index)], rot)
-        return ctx.rotated(ext_arrays[("instance", column.index)], rot)
+        def ext_cell(column, rot):
+            if column.kind == ColumnType.ADVICE:
+                return ctx.rotated(ext_arrays[("advice", column.index)], rot)
+            if column.kind == ColumnType.FIXED:
+                return ctx.rotated(ext_arrays[("fixed", column.index)], rot)
+            return ctx.rotated(ext_arrays[("instance", column.index)], rot)
 
-    terms = []
-    for gate in cs.gates:
-        for _, poly in gate.constraints:
-            terms.append(
-                evaluate_expression(
-                    cs,
-                    poly,
-                    cell_fn=ext_cell,
-                    selector_as_fixed_fn=lambda idx: ext_arrays[("fixed", idx)],
+        terms = []
+        for gate in cs.gates:
+            for _, poly in gate.constraints:
+                terms.append(
+                    evaluate_expression(
+                        cs,
+                        poly,
+                        cell_fn=ext_cell,
+                        selector_as_fixed_fn=lambda idx: ext_arrays[("fixed", idx)],
+                    )
                 )
-            )
 
-    # permutation terms
-    chunks_data = []
-    for c, (cols, sigmas) in enumerate(zip(chunk_cols, chunk_sigmas)):
-        entry = {
-            "z": ext_arrays[("perm_z", c)],
-            "z_next": ctx.rotated(ext_arrays[("perm_z", c)], 1),
-            "prev_last": ctx.rotated(ext_arrays[("perm_z", c - 1)], usable) if c > 0 else None,
-            "cols": [],
-        }
-        for c_idx, col in enumerate(cols):
-            j = perm.columns.index(col)
-            key = (col.kind.value, col.index)
-            if col.kind == ColumnType.ADVICE:
-                v = ext_arrays[("advice", col.index)]
-            elif col.kind == ColumnType.FIXED:
-                v = ext_arrays[("fixed", col.index)]
-            else:
-                v = ext_arrays[("instance", col.index)]
-            entry["cols"].append((v, ext_arrays[("sigma", j)], j))
-        chunks_data.append(entry)
-    if chunks_data:
-        terms += permutation_terms(chunks_data, ctx.l0, ctx.llast, ctx.lactive, beta, gamma, ctx.x_coords)
+        # permutation terms
+        chunks_data = []
+        for c, (cols, sigmas) in enumerate(zip(chunk_cols, chunk_sigmas)):
+            entry = {
+                "z": ext_arrays[("perm_z", c)],
+                "z_next": ctx.rotated(ext_arrays[("perm_z", c)], 1),
+                "prev_last": ctx.rotated(ext_arrays[("perm_z", c - 1)], usable) if c > 0 else None,
+                "cols": [],
+            }
+            for c_idx, col in enumerate(cols):
+                j = perm.columns.index(col)
+                key = (col.kind.value, col.index)
+                if col.kind == ColumnType.ADVICE:
+                    v = ext_arrays[("advice", col.index)]
+                elif col.kind == ColumnType.FIXED:
+                    v = ext_arrays[("fixed", col.index)]
+                else:
+                    v = ext_arrays[("instance", col.index)]
+                entry["cols"].append((v, ext_arrays[("sigma", j)], j))
+            chunks_data.append(entry)
+        if chunks_data:
+            terms += permutation_terms(chunks_data, ctx.l0, ctx.llast, ctx.lactive, beta, gamma, ctx.x_coords)
 
-    # lookup terms: compressed expressions evaluated over the extended coset
-    for li, lk_def in enumerate(cs.lookups):
-        a_comp_ext = np.zeros(ctx.ext, dtype=object)
-        s_comp_ext = np.zeros(ctx.ext, dtype=object)
-        for i_expr, t_expr in lk_def.mapping:
-            a_comp_ext = (
-                a_comp_ext * theta
-                + evaluate_expression(
-                    cs, i_expr, cell_fn=ext_cell, selector_as_fixed_fn=lambda idx: ext_arrays[("fixed", idx)]
-                )
-            ) % P
-            s_comp_ext = (
-                s_comp_ext * theta
-                + evaluate_expression(
-                    cs, t_expr, cell_fn=ext_cell, selector_as_fixed_fn=lambda idx: ext_arrays[("fixed", idx)]
-                )
-            ) % P
-        lk_data = {
-            "z": ext_arrays[("lk_z", li)],
-            "z_next": ctx.rotated(ext_arrays[("lk_z", li)], 1),
-            "a_compressed": a_comp_ext,
-            "s_compressed": s_comp_ext,
-            "a_perm": ext_arrays[("lk_a", li)],
-            "a_perm_prev": ctx.rotated(ext_arrays[("lk_a", li)], -1),
-            "s_perm": ext_arrays[("lk_s", li)],
-        }
-        terms += lookup_terms(lk_data, ctx.l0, ctx.llast, ctx.lactive, beta, gamma)
+        # lookup terms: compressed expressions evaluated over the extended coset
+        for li, lk_def in enumerate(cs.lookups):
+            a_comp_ext = np.zeros(ctx.ext, dtype=object)
+            s_comp_ext = np.zeros(ctx.ext, dtype=object)
+            for i_expr, t_expr in lk_def.mapping:
+                a_comp_ext = (
+                    a_comp_ext * theta
+                    + evaluate_expression(
+                        cs, i_expr, cell_fn=ext_cell, selector_as_fixed_fn=lambda idx: ext_arrays[("fixed", idx)]
+                    )
+                ) % P
+                s_comp_ext = (
+                    s_comp_ext * theta
+                    + evaluate_expression(
+                        cs, t_expr, cell_fn=ext_cell, selector_as_fixed_fn=lambda idx: ext_arrays[("fixed", idx)]
+                    )
+                ) % P
+            lk_data = {
+                "z": ext_arrays[("lk_z", li)],
+                "z_next": ctx.rotated(ext_arrays[("lk_z", li)], 1),
+                "a_compressed": a_comp_ext,
+                "s_compressed": s_comp_ext,
+                "a_perm": ext_arrays[("lk_a", li)],
+                "a_perm_prev": ctx.rotated(ext_arrays[("lk_a", li)], -1),
+                "s_perm": ext_arrays[("lk_s", li)],
+            }
+            terms += lookup_terms(lk_data, ctx.l0, ctx.llast, ctx.lactive, beta, gamma)
 
-    phase.mark("constraint terms")
-    agg = np.zeros(ctx.ext, dtype=object)
-    for term in terms:
-        agg = (agg * y + term) % P
-    h_ext = agg * ctx.t_inv % P
+        phase.mark("constraint terms")
+        agg = np.zeros(ctx.ext, dtype=object)
+        for term in terms:
+            agg = (agg * y + term) % P
+        h_ext = agg * ctx.t_inv % P
 
-    phase.mark("y-fold + divide")
-    from ..poly.transforms import batch_extended_to_coeff
+        phase.mark("y-fold + divide")
+        from ..poly.transforms import batch_extended_to_coeff
 
-    h_coeffs = batch_extended_to_coeff(domain, [[int(v) for v in h_ext]])[0]
-    num_pieces = ctx.ext // n
+        h_coeffs = batch_extended_to_coeff(domain, [[int(v) for v in h_ext]])[0]
+    else:
+        # device path: ONE jitted program evaluates every constraint over
+        # the extended coset, folds with y, divides by Z_H and returns the
+        # quotient coefficients (ops/gate_eval.py)
+        evaluator = _get_quotient_evaluator(vk, schedule)
+        polys_by_key = {}
+        for i, poly in enumerate(advice_polys):
+            polys_by_key[("advice", i)] = poly
+        for i, poly in enumerate(fixed_polys):
+            polys_by_key[("fixed", i)] = poly
+        for i, poly in enumerate(instance_polys):
+            polys_by_key[("instance", i)] = poly
+        for i, poly in enumerate(perm_z_polys):
+            polys_by_key[("perm_z", i)] = poly
+        for i, poly in enumerate(perm.sigma_polys):
+            polys_by_key[("sigma", i)] = poly
+        for i, (a_poly, _, s_poly, _) in enumerate(lookup_perm_polys):
+            polys_by_key[("lk_a", i)] = a_poly
+            polys_by_key[("lk_s", i)] = s_poly
+        for i, (z_poly, _) in enumerate(lookup_z_polys):
+            polys_by_key[("lk_z", i)] = z_poly
+        h_coeffs = evaluator(polys_by_key, (theta, beta, gamma, y))
+    phase.mark("quotient")
+    num_pieces = domain.extended_n // n
     h_pieces = [h_coeffs[i * n : (i + 1) * n] for i in range(num_pieces)]
     h_blinds = [FP.random(rng) for _ in h_pieces]
     for point in commit_many(params, h_pieces, h_blinds):

@@ -178,9 +178,12 @@ def bench_shot_proof(iters: int):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--metric", default="msm", choices=["msm", "ntt", "shot-proof"])
-    ap.add_argument("--log-size", type=int, default=18)
-    ap.add_argument("--iters", type=int, default=3)
+    # default: the NTT throughput metric — stable and cache-warm; the MSM
+    # north-star sweep and the proof metric are explicit opt-ins (their
+    # first-run compiles are long; see BENCH_NOTES.md)
+    ap.add_argument("--metric", default="ntt", choices=["msm", "ntt", "shot-proof"])
+    ap.add_argument("--log-size", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=5)
     args = ap.parse_args()
     if args.metric == "msm":
         result = bench_msm(args.log_size, args.iters)
