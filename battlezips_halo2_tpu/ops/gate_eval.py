@@ -108,12 +108,19 @@ class QuotientEvaluator:
         def run(batch, challenges):
             # batch: (B, ext, 16) plain limbs of COEFFICIENT polys (padded);
             # challenges: (4, 16) plain limbs
-            bm = L.to_mont(spec, batch)
-            # evaluate every poly on the extended coset: scale + NTT
-            scale = D.make_scale_vector(FP, domain.g_coset, ext, spec)
-            bm = L.mont_mul(spec, bm, jnp.asarray(scale)[None, :, :])
+            # evaluate every poly on the extended coset: scale + NTT.
+            # lax.map (sequential) keeps peak HBM at one poly's
+            # intermediates — the bf16 chunk expansion is 32x the operand
+            # size and OOMs if the whole batch is processed at once
+            scale = jnp.asarray(D.make_scale_vector(FP, domain.g_coset, ext, spec))
             plan = D.plan_for(P, ext, domain.extended_omega)
-            bm = D.ntt(plan, bm)
+
+            def extend_one(p):
+                pm = L.to_mont(spec, p)
+                pm = L.mont_mul(spec, pm, scale)
+                return D.ntt(plan, pm)
+
+            bm = jax.lax.map(extend_one, batch)
             ch = L.to_mont(spec, challenges)
             theta, beta, gamma, y = ch[0], ch[1], ch[2], ch[3]
 

@@ -178,9 +178,9 @@ def _msm_device(spec: FieldSpec, qx, qy, qinf, digits, c: int) -> JacobianPoint:
 
 def _msm_device_batch(spec: FieldSpec, qx, qy, qinf, digits_batch, c: int) -> JacobianPoint:
     """digits_batch: (B, W, N) — B independent scalar sets over shared
-    points, vmapped into one program (the prover commits whole column
-    batches in a single device call)."""
-    return jax.vmap(lambda d: _msm_device(spec, qx, qy, qinf, d, c))(digits_batch)
+    points in one program. Sequential lax.map (not vmap): peak HBM stays at
+    one MSM's intermediates (the bf16 chunk expansion is 32x operand size)."""
+    return jax.lax.map(lambda d: _msm_device(spec, qx, qy, qinf, d, c), digits_batch)
 
 
 @functools.lru_cache(maxsize=None)

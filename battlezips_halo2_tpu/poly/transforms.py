@@ -42,7 +42,10 @@ def _jit_lagrange_to_coeff(modulus: int, n: int, omega: int):
 
     @jax.jit
     def f(a):
-        return L.from_mont(FP_SPEC, D.intt(plan_inv, L.to_mont(FP_SPEC, a), n_inv_mont))
+        # sequential over the poly batch: bounds peak HBM (chunk expansion)
+        return jax.lax.map(
+            lambda p: L.from_mont(FP_SPEC, D.intt(plan_inv, L.to_mont(FP_SPEC, p), n_inv_mont)), a
+        )
 
     return f
 
@@ -53,7 +56,7 @@ def _jit_coeff_to_lagrange(modulus: int, n: int, omega: int):
 
     @jax.jit
     def f(a):
-        return L.from_mont(FP_SPEC, D.ntt(plan, L.to_mont(FP_SPEC, a)))
+        return jax.lax.map(lambda p: L.from_mont(FP_SPEC, D.ntt(plan, L.to_mont(FP_SPEC, p))), a)
 
     return f
 
@@ -65,9 +68,12 @@ def _jit_coeff_to_extended(modulus: int, ext: int, ext_omega: int, g: int):
 
     @jax.jit
     def f(a):
-        am = L.to_mont(FP_SPEC, a)
-        am = L.mont_mul(FP_SPEC, am, jnp.asarray(scale)[None, :, :])
-        return L.from_mont(FP_SPEC, D.ntt(plan, am))
+        def one(p):
+            pm = L.to_mont(FP_SPEC, p)
+            pm = L.mont_mul(FP_SPEC, pm, jnp.asarray(scale))
+            return L.from_mont(FP_SPEC, D.ntt(plan, pm))
+
+        return jax.lax.map(one, a)
 
     return f
 
@@ -80,9 +86,12 @@ def _jit_extended_to_coeff(modulus: int, ext: int, ext_omega: int, g_inv: int):
 
     @jax.jit
     def f(a):
-        am = D.intt(plan_inv, L.to_mont(FP_SPEC, a), n_inv_mont)
-        am = L.mont_mul(FP_SPEC, am, jnp.asarray(inv_scale)[None, :, :])
-        return L.from_mont(FP_SPEC, am)
+        def one(p):
+            pm = D.intt(plan_inv, L.to_mont(FP_SPEC, p), n_inv_mont)
+            pm = L.mont_mul(FP_SPEC, pm, jnp.asarray(inv_scale))
+            return L.from_mont(FP_SPEC, pm)
+
+        return jax.lax.map(one, a)
 
     return f
 
