@@ -216,21 +216,27 @@ def msm_many(curve: Curve, points, scalars_list, c: int = WINDOW_BITS, force_dev
     target = max(64, 1 << (n0 - 1).bit_length())
     pts = list(points) + [curve.generator] * (target - n0)
     b0 = len(scalars_list)
-    b_target = max(1, 1 << (b0 - 1).bit_length())
     spec = FieldSpec.make(curve.base.modulus)
     jac = affine_to_jacobian_host(spec, pts)
     qinf = jnp.asarray(np.array([p is None for p in pts], dtype=bool))
-    digit_stack = np.stack(
-        [
-            scalars_to_digits([s % curve.scalar.modulus for s in sc] + [0] * (target - n0), c)
-            for sc in scalars_list
-        ]
-        + [scalars_to_digits([0] * target, c)] * (b_target - b0)
-    )
-    f = _compiled_msm_batch(curve.base.modulus, target, c, digit_stack.shape[1], b_target)
-    out = f(jac.x, jac.y, qinf, jnp.asarray(digit_stack))
-    res = jacobian_to_affine_host(spec, out)
-    return res[:b0]
+    # chunk the batch: one giant sequential executable (tens of MSM bodies)
+    # can exceed the TPU worker's execution watchdog and crash it
+    chunk = 4
+    results = []
+    for start in range(0, b0, chunk):
+        group = scalars_list[start : start + chunk]
+        b_target = max(1, 1 << (len(group) - 1).bit_length())
+        digit_stack = np.stack(
+            [
+                scalars_to_digits([s % curve.scalar.modulus for s in sc] + [0] * (target - n0), c)
+                for sc in group
+            ]
+            + [scalars_to_digits([0] * target, c)] * (b_target - len(group))
+        )
+        f = _compiled_msm_batch(curve.base.modulus, target, c, digit_stack.shape[1], b_target)
+        out = f(jac.x, jac.y, qinf, jnp.asarray(digit_stack))
+        results += jacobian_to_affine_host(spec, out)[: len(group)]
+    return results
 
 
 def device_backend_is_tpu() -> bool:
