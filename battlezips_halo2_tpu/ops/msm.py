@@ -31,6 +31,7 @@ from ..curves.limb import (
     infinity,
     jacobian_to_affine_host,
     point_add,
+    point_add_mixed,
     point_double,
     select_point,
 )
@@ -110,40 +111,110 @@ def _hillis_steele_scan(spec: FieldSpec, pts: JacobianPoint, head, levels: int):
     return out
 
 
+def _lane_block(n_rows: int, n_points: int) -> int:
+    """Number of vector lanes for the serial bucket accumulation. Power of
+    two, divides n_rows (n_points is a power of two and windows * n_points =
+    n_rows, so any power of two <= n_points divides n_rows)."""
+    lanes = min(8192, n_points, max(64, n_rows // 8))
+    return max(1, 1 << (lanes.bit_length() - 1))
+
+
 def _msm_device(spec: FieldSpec, qx, qy, qinf, digits, c: int) -> JacobianPoint:
-    """digits: (W, N). The window axis is FOLDED into the row axis — one
-    composite-key sort (key = window * 2^c + digit), one flat segmented scan
-    for every bucket of every window, and two flat segmented scans for the
-    per-window suffix aggregation. Everything operates on 2-D (rows, 16)
-    leaves, which the fused Pallas point-add kernel consumes directly; only
-    the cheap Horner window fold is sequential."""
+    """digits: (W, N). Work-efficient Pippenger bucket accumulation:
+
+    1. per-window argsort of digits (one batched XLA sort);
+    2. the sorted (window-major) row sequence is blocked so each of LANES
+       vector lanes owns a CONTIGUOUS run of rows; a ``lax.scan`` over
+       S = rows/LANES steps does one LANES-wide Jacobian add per step —
+       ~1.0x total point-add work (vs log2(rows)x for a flat segmented
+       scan) at full lane occupancy. Completed segments are scattered into
+       their bucket slot inside the scan, so no rows-sized point array is
+       ever materialized (points are gathered per step);
+    3. segments that span a lane boundary are repaired afterwards: a
+       log2(LANES)-depth head-flag scan over the per-lane tail runs yields
+       each lane's carry-in, and at most ONE bucket per lane (the one closed
+       before the lane's first head) needs a carry add;
+    4. per-window bucket aggregation keeps the suffix-sum identity
+       sum_b b*S_b = sum_j (sum_{b>=j} S_b) as two log-depth segmented
+       scans (bucket count is tiny vs rows), then a Horner window fold.
+    """
     w_count, n = digits.shape
     nbuck = 1 << c
     total_rows = w_count * n
     one = jnp.asarray(spec.one_mont)
 
-    keys = (jnp.arange(w_count, dtype=jnp.int32)[:, None] * nbuck + digits).reshape(total_rows)
-    order = jnp.argsort(keys)
-    k_s = keys[order]
-    src = order % n  # shared point set: original point index
-    pz = jnp.where(qinf[src][:, None], jnp.zeros((1, 16), jnp.uint32), one[None, :])
-    pts = JacobianPoint(qx[src], qy[src], pz)
+    # per-window sort (batched along the window axis)
+    idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (w_count, n))
+    k_sw, order_w = jax.lax.sort_key_val(digits, idx, dimension=1)
+    k_s = (jnp.arange(w_count, dtype=jnp.int32)[:, None] * nbuck + k_sw).reshape(total_rows)
+    src = order_w.reshape(total_rows)  # original point index per sorted row
 
     head = jnp.concatenate([jnp.ones(1, bool), k_s[1:] != k_s[:-1]])
-    levels = max(1, (total_rows - 1).bit_length())
-    scanned = _hillis_steele_scan(spec, pts, head, levels)
-
     is_last = jnp.concatenate([k_s[1:] != k_s[:-1], jnp.ones(1, bool)])
-    # per-window bucket slots (nbuck + 1 each); one shared trash slot at the end
     w_of = k_s // nbuck
     d_of = k_s % nbuck
     trash = w_count * (nbuck + 1)
     target = jnp.where(is_last, w_of * (nbuck + 1) + d_of, trash)
-    buckets = infinity(spec, (trash + 1,))
+
+    lanes = _lane_block(total_rows, n)
+    s_steps = total_rows // lanes
+    # row r = lane*S + s  ->  (S, LANES) step-major layout
+    to_sl = lambda a: a.reshape(lanes, s_steps).T
+    src_sl = to_sl(src)
+    head_sl = to_sl(head)
+    target_sl = to_sl(target)
+    is_last_sl = to_sl(is_last)
+
+    buckets0 = infinity(spec, (trash + 1,))
+
+    use_fused = False
+    if _PALLAS_MSM:
+        from .pallas_kernels import use_pallas
+
+        use_fused = use_pallas()
+
+    def step(carry, xs):
+        acc, bx, by, bz = carry
+        src_s, head_s, tgt_s = xs
+        px, py, pinf = qx[src_s], qy[src_s], qinf[src_s]
+        if use_fused:
+            from .pallas_kernels import msm_step_rows
+
+            acc = msm_step_rows(spec, acc, px, py, pinf, head_s)
+        else:
+            merged = point_add_mixed(spec, acc, px, py, pinf)
+            pz = jnp.where(pinf[:, None], jnp.zeros((1, 16), jnp.uint32), one[None, :])
+            acc = select_point(head_s, JacobianPoint(px, py, pz), merged)
+        bx = bx.at[tgt_s].set(acc.x)
+        by = by.at[tgt_s].set(acc.y)
+        bz = bz.at[tgt_s].set(acc.z)
+        return (acc, bx, by, bz), None
+
+    init = (infinity(spec, (lanes,)), buckets0.x, buckets0.y, buckets0.z)
+    (tail, bx, by, bz), _ = jax.lax.scan(step, init, (src_sl, head_sl, target_sl))
+    buckets = JacobianPoint(bx, by, bz)
+
+    # ---- lane-boundary repair -------------------------------------------
+    lane_flag = jnp.any(head_sl, axis=0)  # lane contains a segment head
+    fix_levels = max(1, (lanes - 1).bit_length())
+    g = _hillis_steele_scan(spec, tail, lane_flag, fix_levels)
+    carry_in, _ = _shift_points(g, lane_flag, 1, jnp.ones((), bool))
+
+    first_head = jnp.where(lane_flag, jnp.argmax(head_sl, axis=0), s_steps)
+    any_last = jnp.any(is_last_sl, axis=0)
+    first_last = jnp.argmax(is_last_sl, axis=0)
+    has_fix = any_last & (first_last < first_head)
+    tgt_fix = jnp.where(
+        has_fix,
+        jnp.take_along_axis(target_sl, first_last[None, :], axis=0)[0],
+        trash,
+    )
+    broken = JacobianPoint(buckets.x[tgt_fix], buckets.y[tgt_fix], buckets.z[tgt_fix])
+    fixed = select_point(has_fix, point_add(spec, carry_in, broken), broken)
     buckets = JacobianPoint(
-        buckets.x.at[target].set(scanned.x),
-        buckets.y.at[target].set(scanned.y),
-        buckets.z.at[target].set(scanned.z),
+        buckets.x.at[tgt_fix].set(fixed.x),
+        buckets.y.at[tgt_fix].set(fixed.y),
+        buckets.z.at[tgt_fix].set(fixed.z),
     )
 
     # per-window aggregation: sum_b b*S_b = sum_j (sum_{b>=j} S_b), both sums
@@ -178,9 +249,14 @@ def _msm_device(spec: FieldSpec, qx, qy, qinf, digits, c: int) -> JacobianPoint:
 
 def _msm_device_batch(spec: FieldSpec, qx, qy, qinf, digits_batch, c: int) -> JacobianPoint:
     """digits_batch: (B, W, N) — B independent scalar sets over shared
-    points in one program. Sequential lax.map (not vmap): peak HBM stays at
-    one MSM's intermediates (the bf16 chunk expansion is 32x operand size)."""
-    return jax.lax.map(lambda d: _msm_device(spec, qx, qy, qinf, d, c), digits_batch)
+    points in one program, vmapped. The serial-run accumulation's per-step
+    live set is (B, LANES, 16) leaves (+ one (B, LANES, 1024) bf16 chunk
+    intermediate per in-flight mul), so batching multiplies a modest
+    footprint — unlike the old flat-scan formulation, which materialized
+    rows-sized point arrays and had to run sequentially under lax.map.
+    Batching also amortizes the latency-bound tails (Horner fold, bucket
+    aggregation) across the B MSMs."""
+    return jax.vmap(lambda d: _msm_device(spec, qx, qy, qinf, d, c))(digits_batch)
 
 
 @functools.lru_cache(maxsize=None)

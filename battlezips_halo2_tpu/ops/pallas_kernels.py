@@ -170,6 +170,67 @@ def point_add_rows(spec: FieldSpec, p, q, interpret: bool = False):
     return _point_add_call(spec.modulus, rows, interpret)(p, q)
 
 
+# ----------------------------------------------------- mixed add (MSM step)
+@functools.lru_cache(maxsize=None)
+def _mixed_step_call(modulus: int, rows: int, interpret: bool):
+    from ..curves.limb import JacobianPoint, point_add_mixed, select_point
+
+    spec = FieldSpec.make(modulus)
+    # ~13 live Montgomery muls x (tile, 1024) bf16 intermediates in VMEM
+    tile = _pick_tile(rows, 256)
+    grid = (rows // tile,)
+    blk = pl.BlockSpec((tile, L.NLIMBS), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    flg = pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    cspecs = _const_specs()
+
+    def kernel(ax, ay, az, px, py, pinf, head, *rest):
+        crefs, outs = rest[:6], rest[6:]
+        cst = _consts_from_refs(crefs)
+        acc = JacobianPoint(ax[:], ay[:], az[:])
+        qx, qy = px[:], py[:]
+        q_inf = pinf[:, 0] != 0
+        merged = point_add_mixed(spec, acc, qx, qy, q_inf, cst)
+        qz = jnp.where(q_inf[:, None], jnp.zeros_like(qx), cst.one_mont[None, :].astype(jnp.uint32))
+        started = JacobianPoint(qx, qy, qz)
+        r = select_point(head[:, 0] != 0, started, merged)
+        outs[0][:] = r.x
+        outs[1][:] = r.y
+        outs[2][:] = r.z
+
+    consts = _const_arrays(spec)
+
+    def call(acc, px, py, pinf, head):
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[blk] * 5 + [flg, flg] + cspecs,
+            out_specs=[blk] * 3,
+            out_shape=[jax.ShapeDtypeStruct((rows, L.NLIMBS), jnp.uint32)] * 3,
+            interpret=interpret,
+        )(
+            acc.x,
+            acc.y,
+            acc.z,
+            px,
+            py,
+            pinf.astype(jnp.int32)[:, None],
+            head.astype(jnp.int32)[:, None],
+            *consts,
+        )
+        from ..curves.limb import JacobianPoint as JP
+
+        return JP(*out)
+
+    return call
+
+
+def msm_step_rows(spec: FieldSpec, acc, px, py, pinf, head, interpret: bool = False):
+    """One fused MSM bucket-accumulation step: select(head, lift(P),
+    acc + P_affine) over (rows, 16) leaves, all intermediates VMEM-resident."""
+    rows = acc.x.shape[0]
+    return _mixed_step_call(spec.modulus, rows, interpret)(acc, px, py, pinf, head)
+
+
 # ------------------------------------------------------------- mont mul
 @functools.lru_cache(maxsize=None)
 def _mont_mul_call(modulus: int, rows: int, interpret: bool):
