@@ -141,6 +141,51 @@ def point_add_mixed(spec: FieldSpec, p: JacobianPoint, qx, qy, q_inf, cst=None) 
     return out
 
 
+def point_add_mixed_incomplete(spec: FieldSpec, p: JacobianPoint, qx, qy, q_inf, cst=None):
+    """P + Q (Q affine) WITHOUT the doubling branch: ~11 field muls vs ~21
+    for the complete mixed add (which evaluates point_double every lane).
+
+    Returns (result, needs_double): identity and inverse cases are handled
+    branchlessly; the P == Q case (h == 0, r == 0) yields garbage and sets
+    the flag instead. Pippenger bucket runs over DISTINCT points hit that
+    case only if a partial bucket sum collides with the next point — finding
+    such scalars is a discrete-log relation among SRS points — so callers
+    run this fast path, check the (exact) flag, and redo with the complete
+    formula on the astronomically-rare hit (ops/msm.py)."""
+    mul = lambda a, b: L.mont_mul(spec, a, b, cst)
+    add = lambda a, b: L.add(spec, a, b, cst)
+    sub = lambda a, b: L.sub(spec, a, b, cst)
+
+    z1z1 = mul(p.z, p.z)
+    u2 = mul(qx, z1z1)
+    s2 = mul(mul(qy, p.z), z1z1)
+    h = sub(u2, p.x)
+    r = sub(s2, p.y)
+
+    hh = mul(h, h)
+    hhh = mul(h, hh)
+    v = mul(p.x, hh)
+    r2 = mul(r, r)
+    X3 = sub(sub(r2, hhh), add(v, v))
+    Y3 = sub(mul(r, sub(v, X3)), mul(p.y, hhh))
+    Z3 = mul(p.z, h)
+    added = JacobianPoint(X3, Y3, Z3)
+
+    p_inf = L.is_zero(p.z)
+    h_zero = L.is_zero(h)
+    r_zero = L.is_zero(r)
+    needs_double = h_zero & r_zero & ~p_inf & ~q_inf
+
+    one = L._cst(spec, cst).one_mont if cst is not None else jnp.asarray(spec.one_mont)
+    qz = L.select(q_inf, jnp.zeros_like(qx), jnp.broadcast_to(one, qx.shape).astype(jnp.uint32))
+    q_jac = JacobianPoint(qx, qy, qz)
+    inf = infinity(spec, p.x.shape[:-1], cst)
+    out = select_point(h_zero & ~r_zero, inf, added)
+    out = select_point(q_inf, p, out)
+    out = select_point(p_inf, q_jac, out)
+    return out, needs_double
+
+
 def point_add(spec: FieldSpec, p: JacobianPoint, q: JacobianPoint, cst=None) -> JacobianPoint:
     """P + Q, fully general (handles identity, doubling, inverse) via lane
     selection ('add-2007-bl' + candidates)."""

@@ -81,6 +81,23 @@ def limbs_to_ints(a) -> list[int]:
     return [int.from_bytes(data[i * 32 : (i + 1) * 32], "little") for i in range(a16.shape[0])]
 
 
+def _toeplitz8(value: int, out_lanes: int, in_chunks: int = 32) -> np.ndarray:
+    """(in_chunks, out_lanes) bf16 Toeplitz matrix of `value`'s 8-bit chunks:
+    M[i, j] = chunk_{j-i}(value). For a vector of canonical 8-bit chunks a,
+    (a @ M)[j] = sum_{i+d=j} a_i * v_d — the full product in 8-bit lane
+    space, each lane < in_chunks * 2^16 (exact in the MXU's f32 accumulator;
+    8-bit chunk entries are exact in bf16). Multiplying by a CONSTANT this
+    way skips the (.., 1024) chunk-pair expansion a variable*variable
+    product needs."""
+    m = np.zeros((in_chunks, out_lanes), dtype=np.float32)
+    for i in range(in_chunks):
+        for j in range(out_lanes):
+            d = j - i
+            if 0 <= d < 32:
+                m[i, j] = (value >> (8 * d)) & 0xFF
+    return m.astype(jnp.bfloat16)
+
+
 @dataclass(frozen=True)
 class FieldSpec:
     """Compile-time constants for one field, closed over by the kernels."""
@@ -95,6 +112,8 @@ class FieldSpec:
     r2_limbs: np.ndarray  # R^2 mod p, for to_mont
     one_mont: np.ndarray  # R mod p limbs
     host: Field
+    toep_n8: np.ndarray  # (32, 32) bf16 Toeplitz of -p^{-1} mod 2^256 (low half)
+    toep_p8: np.ndarray  # (32, 66) bf16 Toeplitz of p (full product)
 
     @staticmethod
     @functools.lru_cache(maxsize=None)
@@ -117,6 +136,8 @@ class FieldSpec:
             r2_limbs=int_to_limbs(r2),
             one_mont=int_to_limbs(r),
             host=host,
+            toep_n8=_toeplitz8(nprime, 32),
+            toep_p8=_toeplitz8(modulus, 66),
         )
 
 
@@ -257,6 +278,8 @@ class LimbConsts(NamedTuple):
     nprime: jnp.ndarray  # (16,) uint32
     one_mont: jnp.ndarray  # (16,) uint32
     in_kernel: bool = False
+    toep_n8: jnp.ndarray | None = None  # (32, 32) bf16
+    toep_p8: jnp.ndarray | None = None  # (32, 66) bf16
 
 
 def spec_consts(spec: "FieldSpec") -> LimbConsts:
@@ -268,6 +291,8 @@ def spec_consts(spec: "FieldSpec") -> LimbConsts:
         p17_i32=jnp.asarray(spec.p17.astype(np.int32)),
         nprime=jnp.asarray(spec.nprime_limbs),
         one_mont=jnp.asarray(spec.one_mont),
+        toep_n8=jnp.asarray(spec.toep_n8),
+        toep_p8=jnp.asarray(spec.toep_p8),
     )
 
 
@@ -334,25 +359,70 @@ def _carry_lanes(t, nout: int):
     return jnp.stack(out, axis=-1)
 
 
+def _to_chunks8(t16):
+    """(..., 16) canonical 16-bit limbs -> (..., 32) 8-bit chunks as bf16
+    (exact: chunks < 256)."""
+    lo = t16 & 0xFF
+    hi = t16 >> 8
+    inter = jnp.stack([lo, hi], axis=-1).reshape(t16.shape[:-1] + (2 * NLIMBS,))
+    return inter.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+
+
 def _redc_wide(spec: FieldSpec, t_lanes, cst=None):
     """Separated Montgomery reduction of a (..., >=33)-lane accumulator
-    representing T < p*R:  m = (T mod R)*N' mod R;  r = (T + m*p)/R, then a
-    conditional subtract. Only matmuls + unrolled elementwise carries.
+    representing T < p*R:  m = (T mod R)*N' mod R;  r = (T + m*p)/R, then
+    conditional subtracts.
 
-    T mod R only needs the low 16 lanes carry-propagated (overflow past lane
-    15 leaves the residue), so the full 32-limb normalize is skipped."""
+    Both REDC multiplies have a CONSTANT operand (N' and p), so they run as
+    single bf16 matmuls against precomputed 8-bit-chunk Toeplitz matrices —
+    no (.., 1024) chunk-pair expansion, which cuts the HBM traffic of a
+    Montgomery mul to roughly the variable*variable product alone. m is
+    kept in near-canonical 8-bit lanes (three parallel carry-settle passes
+    bound each lane by 256, still bf16-exact; the resulting redundant
+    m' ≡ m mod 2^256 with m' < 2*2^256 costs one extra conditional
+    subtract: r = (T + m'p)/R < 3p).
+
+    The Pallas kernels keep the conv-matrix formulation (in_kernel=True):
+    Mosaic lowers it today, and kernel VMEM residency already removes the
+    traffic the Toeplitz path saves."""
     cst = _cst(spec, cst)
+    if cst.in_kernel or cst.toep_n8 is None:
+        t_low = _carry_lanes(t_lanes[..., :NLIMBS], NLIMBS)  # T mod 2^256 (canonical)
+        m = _mul_low16(t_low, cst.nprime, cst.conv_low, cst.in_kernel)
+        mp = _mul_lanes(m, cst.p_limbs, cst.conv_full, cst.in_kernel)  # (..., 34) lanes < 2^21
+        lanes = t_lanes.shape[-1]
+        if lanes < mp.shape[-1]:  # pad+add (a scatter would break Pallas lowering)
+            pad = [(0, 0)] * (t_lanes.ndim - 1) + [(0, mp.shape[-1] - lanes)]
+            t_lanes = jnp.pad(t_lanes, pad)
+        s = mp + t_lanes  # lanes < 2^22
+        s = _carry_lanes(s, 2 * NLIMBS + 2)
+        r17 = s[..., NLIMBS : NLIMBS + 17]
+        return _cond_sub_p(spec, r17, cst)
+
     t_low = _carry_lanes(t_lanes[..., :NLIMBS], NLIMBS)  # T mod 2^256 (canonical)
-    m = _mul_low16(t_low, cst.nprime, cst.conv_low, cst.in_kernel)
-    mp = _mul_lanes(m, cst.p_limbs, cst.conv_full, cst.in_kernel)  # (..., 34) lanes < 2^21
+    a8 = _to_chunks8(t_low)
+    # m in 8-bit lanes: (T mod R) * N' mod R via the N' Toeplitz (lanes < 2^21)
+    m = _exact_matmul(a8, cst.toep_n8).astype(jnp.int32).astype(U32)
+    # settle carries in parallel until every lane <= 256 (bf16-exact);
+    # the top carry out of lane 31 is a multiple of 2^256 -> dropped
+    shift_pad = [(0, 0)] * (m.ndim - 1) + [(1, 0)]
+    for _ in range(3):
+        m = (m & 0xFF) + jnp.pad((m >> 8)[..., :-1], shift_pad)
+    m8 = m.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+    # m' * p as 8-bit lanes via the p Toeplitz (66 lanes, each < 2^22)
+    mp8 = _exact_matmul(m8, cst.toep_p8).astype(jnp.int32).astype(U32)
+    # fold to 16-bit lane space: lane l = mp8[2l] + 256*mp8[2l+1] (< 2^30)
+    mp16 = mp8[..., 0::2] + (mp8[..., 1::2] << 8)  # (..., 33)
     lanes = t_lanes.shape[-1]
-    if lanes < mp.shape[-1]:  # pad+add (a scatter would break Pallas lowering)
-        pad = [(0, 0)] * (t_lanes.ndim - 1) + [(0, mp.shape[-1] - lanes)]
-        t_lanes = jnp.pad(t_lanes, pad)
-    s = mp + t_lanes  # lanes < 2^22
-    s = _carry_lanes(s, 2 * NLIMBS + 2)
-    r17 = s[..., NLIMBS : NLIMBS + 17]
-    return _cond_sub_p(spec, r17, cst)
+    width = 2 * NLIMBS + 2
+    pad_t = [(0, 0)] * (t_lanes.ndim - 1) + [(0, width - lanes)]
+    pad_m = [(0, 0)] * (mp16.ndim - 1) + [(0, width - mp16.shape[-1])]
+    s = jnp.pad(t_lanes, pad_t) + jnp.pad(mp16, pad_m)
+    s = _carry_lanes(s, width)
+    r17 = s[..., NLIMBS : NLIMBS + 17]  # r = (T + m'p)/R < 3p
+    r = _cond_sub_p(spec, r17, cst)  # < 2p (16 limbs: the kept branch < 2^256)
+    r17b = jnp.concatenate([r, jnp.zeros_like(r[..., :1])], axis=-1)
+    return _cond_sub_p(spec, r17b, cst)
 
 
 def mont_mul(spec: FieldSpec, a, b, cst=None):

@@ -32,6 +32,7 @@ from ..curves.limb import (
     jacobian_to_affine_host,
     point_add,
     point_add_mixed,
+    point_add_mixed_incomplete,
     point_double,
     select_point,
 )
@@ -119,8 +120,13 @@ def _lane_block(n_rows: int, n_points: int) -> int:
     return max(1, 1 << (lanes.bit_length() - 1))
 
 
-def _msm_device(spec: FieldSpec, qx, qy, qinf, digits, c: int) -> JacobianPoint:
-    """digits: (W, N). Work-efficient Pippenger bucket accumulation:
+def _msm_device_wsums(spec: FieldSpec, qx, qy, qinf, digits, c: int, complete: bool = False):
+    """digits: (W, N) -> (wsums, collision) where wsums holds per-window
+    sums S_w as a (W, 16)-leaf JacobianPoint (callers fold with
+    sum_w 2^(c*w) S_w) and collision is a () bool: True iff the fast
+    incomplete bucket add hit its excluded P == Q case in a live bucket
+    (callers then redo with complete=True; see point_add_mixed_incomplete).
+    Work-efficient Pippenger bucket accumulation:
 
     1. per-window argsort of digits (one batched XLA sort);
     2. the sorted (window-major) row sequence is blocked so each of LANES
@@ -164,6 +170,7 @@ def _msm_device(spec: FieldSpec, qx, qy, qinf, digits, c: int) -> JacobianPoint:
     head_sl = to_sl(head)
     target_sl = to_sl(target)
     is_last_sl = to_sl(is_last)
+    live_sl = to_sl(d_of != 0)  # digit-0 rows land in discarded buckets
 
     buckets0 = infinity(spec, (trash + 1,))
 
@@ -174,24 +181,31 @@ def _msm_device(spec: FieldSpec, qx, qy, qinf, digits, c: int) -> JacobianPoint:
         use_fused = use_pallas()
 
     def step(carry, xs):
-        acc, bx, by, bz = carry
-        src_s, head_s, tgt_s = xs
+        acc, flag, bx, by, bz = carry
+        src_s, head_s, tgt_s, live_s = xs
         px, py, pinf = qx[src_s], qy[src_s], qinf[src_s]
         if use_fused:
             from .pallas_kernels import msm_step_rows
 
             acc = msm_step_rows(spec, acc, px, py, pinf, head_s)
-        else:
+        elif complete:
             merged = point_add_mixed(spec, acc, px, py, pinf)
             pz = jnp.where(pinf[:, None], jnp.zeros((1, 16), jnp.uint32), one[None, :])
             acc = select_point(head_s, JacobianPoint(px, py, pz), merged)
+        else:
+            merged, needs_double = point_add_mixed_incomplete(spec, acc, px, py, pinf)
+            pz = jnp.where(pinf[:, None], jnp.zeros((1, 16), jnp.uint32), one[None, :])
+            acc = select_point(head_s, JacobianPoint(px, py, pz), merged)
+            flag = flag | jnp.any(needs_double & ~head_s & live_s)
         bx = bx.at[tgt_s].set(acc.x)
         by = by.at[tgt_s].set(acc.y)
         bz = bz.at[tgt_s].set(acc.z)
-        return (acc, bx, by, bz), None
+        return (acc, flag, bx, by, bz), None
 
-    init = (infinity(spec, (lanes,)), buckets0.x, buckets0.y, buckets0.z)
-    (tail, bx, by, bz), _ = jax.lax.scan(step, init, (src_sl, head_sl, target_sl))
+    init = (infinity(spec, (lanes,)), jnp.zeros((), bool), buckets0.x, buckets0.y, buckets0.z)
+    (tail, collision, bx, by, bz), _ = jax.lax.scan(
+        step, init, (src_sl, head_sl, target_sl, live_sl)
+    )
     buckets = JacobianPoint(bx, by, bz)
 
     # ---- lane-boundary repair -------------------------------------------
@@ -235,7 +249,16 @@ def _msm_device(spec: FieldSpec, qx, qy, qinf, digits, c: int) -> JacobianPoint:
     suffix = _hillis_steele_scan(spec, rev, whead, agg_levels)
     totals = _hillis_steele_scan(spec, suffix, whead, agg_levels)
     ends = jnp.asarray(np.arange(1, w_count + 1) * m - 1)
-    wsums = JacobianPoint(totals.x[ends], totals.y[ends], totals.z[ends])
+    return JacobianPoint(totals.x[ends], totals.y[ends], totals.z[ends]), collision
+
+
+def _horner_device(spec: FieldSpec, wsums: JacobianPoint, c: int) -> JacobianPoint:
+    """Fold (W, 16)-leaf window sums into the MSM result on device.
+
+    ~c*W sequential tiny group ops — latency-bound on an accelerator, so the
+    host-facing entry points fold on the HOST instead (host_window_fold);
+    this device version serves in-graph consumers (bench chaining, the
+    sharded MSM's mesh-local partials)."""
 
     def horner(acc, wsum):
         acc = jax.lax.fori_loop(0, c, lambda _, a: point_double(spec, a), acc)
@@ -247,36 +270,59 @@ def _msm_device(spec: FieldSpec, qx, qy, qinf, digits, c: int) -> JacobianPoint:
     return acc
 
 
-def _msm_device_batch(spec: FieldSpec, qx, qy, qinf, digits_batch, c: int) -> JacobianPoint:
+def _msm_device(spec: FieldSpec, qx, qy, qinf, digits, c: int) -> JacobianPoint:
+    """Full device MSM (window sums + device Horner fold), complete
+    addition law — kept for in-graph consumers (bench chaining, graft
+    entries, sharded partials); host-facing paths use _msm_device_wsums +
+    the host fold."""
+    wsums, _ = _msm_device_wsums(spec, qx, qy, qinf, digits, c, complete=True)
+    return _horner_device(spec, wsums, c)
+
+
+def host_window_fold(curve: Curve, wsum_points: list, c: int):
+    """sum_w 2^(c*w) * S_w on the host: ~c*W point doublings of Python-int
+    affine math — microseconds per op, vs ~100 ms for the same serial chain
+    on the accelerator (each op there is a dispatch-latency-bound (1, 16)
+    tensor program)."""
+    acc = None
+    for wsum in reversed(wsum_points):
+        for _ in range(c):
+            acc = curve.add(acc, acc)
+        acc = curve.add(acc, wsum)
+    return acc
+
+
+def _msm_device_batch(spec: FieldSpec, qx, qy, qinf, digits_batch, c: int, complete: bool = False):
     """digits_batch: (B, W, N) — B independent scalar sets over shared
     points in one program, vmapped. The serial-run accumulation's per-step
     live set is (B, LANES, 16) leaves (+ one (B, LANES, 1024) bf16 chunk
     intermediate per in-flight mul), so batching multiplies a modest
     footprint — unlike the old flat-scan formulation, which materialized
     rows-sized point arrays and had to run sequentially under lax.map.
-    Batching also amortizes the latency-bound tails (Horner fold, bucket
-    aggregation) across the B MSMs."""
-    return jax.vmap(lambda d: _msm_device(spec, qx, qy, qinf, d, c))(digits_batch)
+    Batching also amortizes the latency-bound tails (bucket aggregation)
+    across the B MSMs; the Horner window fold happens host-side. Returns
+    ((B, W, 16)-leaf wsums, (B,) collision flags)."""
+    return jax.vmap(lambda d: _msm_device_wsums(spec, qx, qy, qinf, d, c, complete))(digits_batch)
 
 
 @functools.lru_cache(maxsize=None)
-def _compiled_msm(modulus: int, n: int, c: int, n_windows: int):
+def _compiled_msm(modulus: int, n: int, c: int, n_windows: int, complete: bool = False):
     spec = FieldSpec.make(modulus)
 
     @jax.jit
     def f(qx, qy, qinf, digits):
-        return _msm_device(spec, qx, qy, qinf, digits, c)
+        return _msm_device_wsums(spec, qx, qy, qinf, digits, c, complete)
 
     return f
 
 
 @functools.lru_cache(maxsize=None)
-def _compiled_msm_batch(modulus: int, n: int, c: int, n_windows: int, batch: int):
+def _compiled_msm_batch(modulus: int, n: int, c: int, n_windows: int, batch: int, complete: bool = False):
     spec = FieldSpec.make(modulus)
 
     @jax.jit
     def f(qx, qy, qinf, digits_batch):
-        return _msm_device_batch(spec, qx, qy, qinf, digits_batch, c)
+        return _msm_device_batch(spec, qx, qy, qinf, digits_batch, c, complete)
 
     return f
 
@@ -309,9 +355,21 @@ def msm_many(curve: Curve, points, scalars_list, c: int = WINDOW_BITS, force_dev
             ]
             + [scalars_to_digits([0] * target, c)] * (b_target - len(group))
         )
-        f = _compiled_msm_batch(curve.base.modulus, target, c, digit_stack.shape[1], b_target)
-        out = f(jac.x, jac.y, qinf, jnp.asarray(digit_stack))
-        results += jacobian_to_affine_host(spec, out)[: len(group)]
+        w = digit_stack.shape[1]
+        dstack = jnp.asarray(digit_stack)
+        f = _compiled_msm_batch(curve.base.modulus, target, c, w, b_target)
+        out, collisions = f(jac.x, jac.y, qinf, dstack)
+        if bool(np.any(np.asarray(collisions))):
+            # incomplete-add P == Q hit (duplicate points in a bucket or a
+            # DL-relation collision): redo this chunk with the complete law
+            f = _compiled_msm_batch(curve.base.modulus, target, c, w, b_target, complete=True)
+            out, _ = f(jac.x, jac.y, qinf, dstack)
+        flat = JacobianPoint(
+            out.x.reshape(-1, 16), out.y.reshape(-1, 16), out.z.reshape(-1, 16)
+        )
+        wsum_pts = jacobian_to_affine_host(spec, flat)
+        for bi in range(len(group)):
+            results.append(host_window_fold(curve, wsum_pts[bi * w : (bi + 1) * w], c))
     return results
 
 
@@ -347,6 +405,8 @@ def msm(curve: Curve, points, scalars, c: int = WINDOW_BITS, force_device: bool 
     qinf = jnp.asarray(np.array([p is None for p in points], dtype=bool))
     digits = jnp.asarray(scalars_to_digits([s % curve.scalar.modulus for s in scalars], c))
     f = _compiled_msm(curve.base.modulus, len(points), c, digits.shape[0])
-    out = f(jac.x, jac.y, qinf, digits)
-    res = jacobian_to_affine_host(spec, JacobianPoint(out.x[None], out.y[None], out.z[None]))
-    return res[0]
+    wsums, collision = f(jac.x, jac.y, qinf, digits)  # (W, 16) leaves
+    if bool(np.asarray(collision)):
+        f = _compiled_msm(curve.base.modulus, len(points), c, digits.shape[0], complete=True)
+        wsums, _ = f(jac.x, jac.y, qinf, digits)
+    return host_window_fold(curve, jacobian_to_affine_host(spec, wsums), c)

@@ -22,7 +22,7 @@ from jax.experimental.shard_map import shard_map
 from ..curves.host import Curve
 from ..curves.limb import JacobianPoint, affine_to_jacobian_host, jacobian_to_affine_host, point_add
 from ..fields.limb import FieldSpec
-from ..ops.msm import WINDOW_BITS, _msm_device, scalars_to_digits
+from ..ops.msm import WINDOW_BITS, _msm_device_wsums, host_window_fold, scalars_to_digits
 from .collectives import AXIS
 
 
@@ -32,9 +32,10 @@ def _compiled_sharded_msm(modulus: int, n_local: int, c: int, n_windows: int, me
     mesh = _MESHES[mesh_key]
 
     def local_fn(qx, qy, qinf, digits):
-        partial = _msm_device(spec, qx, qy, qinf, digits, c)
-        gathered = jax.lax.all_gather(partial, AXIS)  # JacobianPoint of (D, 16) leaves
+        partial, _ = _msm_device_wsums(spec, qx, qy, qinf, digits, c, complete=True)
+        gathered = jax.lax.all_gather(partial, AXIS)  # JacobianPoint of (D, W, 16) leaves
         d = gathered.x.shape[0]
+        # fold the per-device window-sum partials lane-parallel over W
         acc = JacobianPoint(gathered.x[0], gathered.y[0], gathered.z[0])
         for i in range(1, d):
             acc = point_add(spec, acc, JacobianPoint(gathered.x[i], gathered.y[i], gathered.z[i]))
@@ -47,7 +48,7 @@ def _compiled_sharded_msm(modulus: int, n_local: int, c: int, n_windows: int, me
         out_specs=JacobianPoint(P(), P(), P()),
         check_rep=False,
     )
-    return jax.jit(fn)
+    return jax.jit(fn)  # returns replicated (W, 16)-leaf window sums
 
 
 _MESHES: dict = {}
@@ -74,6 +75,5 @@ def sharded_msm(curve: Curve, points, scalars, mesh, c: int = WINDOW_BITS):
     mesh_key = tuple(str(dev) for dev in mesh.devices.flat)
     _MESHES[mesh_key] = mesh
     f = _compiled_sharded_msm(curve.base.modulus, len(points) // d, c, digits.shape[0], mesh_key)
-    out = f(jac.x, jac.y, qinf, digits)
-    res = jacobian_to_affine_host(spec, JacobianPoint(out.x[None], out.y[None], out.z[None]))
-    return res[0]
+    wsums = f(jac.x, jac.y, qinf, digits)  # (W, 16) leaves
+    return host_window_fold(curve, jacobian_to_affine_host(spec, wsums), c)

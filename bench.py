@@ -43,10 +43,15 @@ def bench_msm(log_size: int, iters: int):
 
     n = 1 << log_size
     rng = random.Random(7)
-    # random affine points: multiples of G with random small scalars (setup
-    # cost only; correctness is covered by the test suite)
-    base_pts = [VESTA.mul(VESTA.generator, rng.randrange(1, 1 << 40)) for _ in range(256)]
-    points = [base_pts[i % 256] for i in range(n)]
+    # DISTINCT affine points ((i+1)*G via incremental host adds): matches
+    # the production workload (SRS points are distinct), which is what the
+    # fast incomplete-add bucket path assumes (duplicate points in a bucket
+    # would trip its collision flag)
+    points = []
+    acc = None
+    for _ in range(n):
+        acc = VESTA.add(acc, VESTA.generator)
+        points.append(acc)
     scalars = [rng.randrange(VESTA.scalar.modulus) for _ in range(n)]
 
     spec = FieldSpec.make(VESTA.base.modulus)
@@ -67,34 +72,44 @@ def bench_msm(log_size: int, iters: int):
     from battlezips_halo2_tpu.fields import limb as _L
 
     digit_stack = jnp.asarray(np.stack([d for _, d in variants]))
+    w_count = digit_stack.shape[1]
 
     @jax.jit
     def chained(qx, qy, qinf, dstack):
-        def body(acc, dig):
-            r = M._msm_device(spec, qx, qy, qinf, dig, M.WINDOW_BITS)
-            return _padd(spec, acc, r), None
+        # accumulate per-window sums across variants ((W, 16)-wide adds);
+        # the Horner fold is linear in the window sums, so ONE host fold of
+        # the accumulated wsums equals the sum of the K MSM results
+        def body(carry, dig):
+            acc, flag = carry
+            r, coll = M._msm_device_wsums(spec, qx, qy, qinf, dig, M.WINDOW_BITS)
+            return (_padd(spec, acc, r), flag | coll), None
 
         from battlezips_halo2_tpu.curves.limb import infinity
 
-        acc, _ = jax.lax.scan(body, infinity(spec), dstack)
-        return acc
+        (acc, flag), _ = jax.lax.scan(
+            body, (infinity(spec, (w_count,)), jnp.zeros((), bool)), dstack
+        )
+        return acc, flag
+
+    def fold(out):
+        r, flag = out
+        assert not bool(np.asarray(flag)), "incomplete-add collision on distinct points"
+        return M.host_window_fold(VESTA, jacobian_to_affine_host(spec, r), M.WINDOW_BITS)
 
     # warm the chained executable; gate correctness on its result: the sum
-    # of all K variant-MSMs equals a 256-point host Pippenger over scalars
-    # collapsed across variants (points repeat every 256)
+    # of all K variant-MSMs equals ONE host Pippenger over the per-point
+    # variant-summed scalars
     t0 = time.time()
-    r = chained(jac.x, jac.y, qinf, digit_stack)
-    got = jacobian_to_affine_host(spec, JacobianPoint(r.x[None], r.y[None], r.z[None]))[0]
+    got = fold(chained(jac.x, jac.y, qinf, digit_stack))
     compile_and_first = time.time() - t0
-    collapsed = [0] * 256
+    collapsed = [0] * n
     for vs, _ in variants:
         for i, s in enumerate(vs):
-            collapsed[i % 256] = (collapsed[i % 256] + s) % VESTA.scalar.modulus
-    assert got == VESTA.pippenger(base_pts, collapsed), "device MSM mismatch vs host reference"
+            collapsed[i] = (collapsed[i] + s) % VESTA.scalar.modulus
+    assert got == VESTA.pippenger(points, collapsed), "device MSM mismatch vs host reference"
 
     t0 = time.time()
-    r = chained(jac.x, jac.y, qinf, digit_stack[::-1])
-    _ = jacobian_to_affine_host(spec, JacobianPoint(r.x[None], r.y[None], r.z[None]))
+    _ = fold(chained(jac.x, jac.y, qinf, digit_stack[::-1]))
     total = time.time() - t0
     elapsed = total / digit_stack.shape[0]
     pps = n / elapsed

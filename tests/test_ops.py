@@ -78,3 +78,84 @@ class TestMsm:
         scalars[0] = 0
         pts[1] = None
         assert msm(VESTA, pts, scalars) == VESTA.msm(pts, scalars)
+
+
+class TestMixedAdd:
+    """Edge cases of the affine-operand addition laws used by the MSM
+    bucket scan (curves/limb.py point_add_mixed{,_incomplete})."""
+
+    def _cases(self):
+        G = VESTA.generator
+        P1 = VESTA.mul(G, 12345)
+        Q1 = VESTA.mul(G, 777)
+        return [
+            (P1, Q1),  # generic
+            (P1, P1),  # doubling (incomplete law flags this)
+            (P1, (P1[0], (-P1[1]) % VESTA.base.modulus)),  # inverse -> infinity
+            (None, Q1),  # P at infinity
+            (P1, None),  # Q at infinity
+            (None, None),
+        ]
+
+    def _pack_q(self, spec, qs):
+        import jax.numpy as jnp
+
+        r, m = spec.r_mod_p, spec.modulus
+        qx = jnp.asarray(np.stack([L.int_to_limbs((q[0] * r % m) if q else r) for q in qs]))
+        qy = jnp.asarray(np.stack([L.int_to_limbs((q[1] * r % m) if q else r) for q in qs]))
+        qinf = jnp.asarray(np.array([q is None for q in qs]))
+        return qx, qy, qinf
+
+    def test_mixed_add_complete(self):
+        from battlezips_halo2_tpu.curves.limb import point_add_mixed
+
+        spec = FieldSpec.make(VESTA.base.modulus)
+        cases = self._cases()
+        ps = affine_to_jacobian_host(spec, [c[0] for c in cases])
+        qx, qy, qinf = self._pack_q(spec, [c[1] for c in cases])
+        got = jacobian_to_affine_host(spec, point_add_mixed(spec, ps, qx, qy, qinf))
+        assert got == [VESTA.add(p, q) for p, q in cases]
+
+    def test_mixed_add_incomplete_flags_doubling_only(self):
+        from battlezips_halo2_tpu.curves.limb import point_add_mixed_incomplete
+
+        spec = FieldSpec.make(VESTA.base.modulus)
+        cases = self._cases()
+        ps = affine_to_jacobian_host(spec, [c[0] for c in cases])
+        qx, qy, qinf = self._pack_q(spec, [c[1] for c in cases])
+        out, flag = point_add_mixed_incomplete(spec, ps, qx, qy, qinf)
+        got = jacobian_to_affine_host(spec, out)
+        flags = list(np.asarray(flag))
+        for i, (p, q) in enumerate(cases):
+            if i == 1:  # the P == Q lane is the only flagged one
+                assert flags[i]
+            else:
+                assert not flags[i]
+                assert got[i] == VESTA.add(p, q)
+
+
+SLOW = __import__("os").environ.get("BZ_RUN_SLOW", "") not in ("", "0")
+
+
+class TestMsmDevicePaths:
+    """Device-kernel MSM paths (the CPU backend runs the same graphs the
+    TPU executes; shapes match the cached-compile set). Compile-heavy:
+    gated behind BZ_RUN_SLOW=1 like the production-proof tests."""
+
+    @pytest.mark.skipif(not SLOW, reason="set BZ_RUN_SLOW=1 for device MSM graph tests")
+    def test_distinct_points_incomplete_path(self):
+        rng = random.Random(2)
+        pts, acc = [], None
+        for _ in range(96):
+            acc = VESTA.add(acc, VESTA.generator)
+            pts.append(acc)
+        sc = [rng.randrange(VESTA.scalar.modulus) for _ in range(96)]
+        assert msm(VESTA, pts, sc, force_device=True) == VESTA.pippenger(pts, sc)
+
+    @pytest.mark.skipif(not SLOW, reason="set BZ_RUN_SLOW=1 for device MSM graph tests")
+    def test_duplicate_points_trigger_complete_fallback(self):
+        rng = random.Random(2)
+        base = VESTA.mul(VESTA.generator, 99)
+        pts = [base] * 64
+        sc = [rng.randrange(VESTA.scalar.modulus) for _ in range(64)]
+        assert msm(VESTA, pts, sc, force_device=True) == VESTA.pippenger(pts, sc)
