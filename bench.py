@@ -43,15 +43,14 @@ def bench_msm(log_size: int, iters: int):
 
     n = 1 << log_size
     rng = random.Random(7)
-    # DISTINCT affine points ((i+1)*G via incremental host adds): matches
-    # the production workload (SRS points are distinct), which is what the
-    # fast incomplete-add bucket path assumes (duplicate points in a bucket
-    # would trip its collision flag)
-    points = []
-    acc = None
-    for _ in range(n):
-        acc = VESTA.add(acc, VESTA.generator)
-        points.append(acc)
+    # the REAL SRS points (hash-to-curve derived, unknown discrete logs) —
+    # the production MSM workload. The incomplete-add bucket fast path
+    # requires unknown-DL points: synthetic (i+1)*G points have tiny
+    # discrete logs, so bucket partial sums (also small multiples of G)
+    # collide with the next point and trip the collision flag.
+    from battlezips_halo2_tpu.pcs.ipa import cached_params
+
+    points = cached_params(log_size).g
     scalars = [rng.randrange(VESTA.scalar.modulus) for _ in range(n)]
 
     spec = FieldSpec.make(VESTA.base.modulus)
