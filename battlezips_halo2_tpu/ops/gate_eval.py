@@ -1,19 +1,34 @@
 """Device-side quotient (gate/permutation/lookup) evaluation.
 
-The prover's heaviest host phase — evaluating every constraint polynomial
-over the extended coset and folding with y — compiled into ONE jitted device
-program per proving key:
+The prover's heaviest phase — evaluating every constraint polynomial over
+the extended coset and folding with y — compiled into ONE jitted device
+program per proving key.
 
-* the Expression DAG evaluates with Montgomery limb semantics (mont_mul /
-  add / sub on (ext, 16) arrays, rotations as rolls);
-* the permutation and lookup argument formulas are the device twins of
-  plonk/arguments.py (same math, limb ops);
-* l_0 / l_last / l_active, the coset coordinates and 1/Z_H are baked in as
+The constraint math is **emitted as bytecode** (`_VMEmitter`): the gate /
+permutation / lookup formulas are walked once at build time into a static
+instruction stream of field ops (mul/add/sub) over a register file of
+(ext, 16)-limb Montgomery vectors, and the device program executes it as a
+single ``lax.scan`` whose body holds ONE instance of each field op
+(dispatched with ``lax.switch``). The alternative — inlining the ~2000
+field ops of a real circuit's constraints into the graph — compiles for
+10-20 minutes per (circuit, platform) and holds every intermediate live;
+the VM compiles in seconds and caps live memory at the register file.
+
+* inputs (extended column polys, rotations, challenges, constants) are
+  bound to pinned registers at run time; temporaries are register-allocated
+  with a free list at emission time (in-place reuse via scan-carry
+  donation);
+* l_0 / l_last / l_active, the coset coordinates and 1/Z_H are baked-in
   constants; challenges (theta, beta, gamma, y) are traced inputs so the
   compiled program is reused across proofs;
 * the division by Z_H and the extended iNTT + coset unscale happen in the
   same program — input: plain-limb column batch, output: plain-limb h
   coefficients.
+
+Exact-arithmetic note: all ops are exact field ops, and the emission
+follows the same formula/fold order as the host path (plonk/arguments.py),
+so results are bit-identical to the host quotient (cross-checked by
+BZ_HOST_QUOTIENT=1 and tests/test_prover.py).
 """
 
 from __future__ import annotations
@@ -32,6 +47,121 @@ from . import ntt as D
 
 P = FP.modulus
 
+OP_MUL, OP_ADD, OP_SUB = 0, 1, 2
+
+
+class _Handle:
+    __slots__ = ("kind", "id", "kept")
+
+    def __init__(self, kind: str, hid: int, kept: bool = False):
+        self.kind = kind  # "agg" | "pin" | "temp"
+        self.id = hid
+        self.kept = kept
+
+
+class _VMEmitter:
+    """Records field-op instructions over register handles.
+
+    Temp registers are freed the first time they are consumed (expression
+    trees use each intermediate exactly once); call ``keep(h)`` for the
+    rare value used more than once and ``drop(h)`` when done with it."""
+
+    def __init__(self):
+        self.pins: dict = {}
+        self.pin_keys: list = []
+        self.prog: list = []  # (op, handle, handle, dst_handle-snapshot)
+        self._free: list = []
+        self._next_temp = 0
+
+    # --- pinned inputs ----------------------------------------------------
+    def _pin(self, key) -> _Handle:
+        if key not in self.pins:
+            self.pins[key] = len(self.pin_keys)
+            self.pin_keys.append(key)
+        return _Handle("pin", self.pins[key])
+
+    def inp(self, kind: str, index: int, rot: int = 0) -> _Handle:
+        return self._pin(("inp", kind, index, rot))
+
+    def const_int(self, v: int) -> _Handle:
+        return self._pin(("const", v % P))
+
+    def chal(self, name: str) -> _Handle:
+        return self._pin(("chal", name))
+
+    def named(self, name: str) -> _Handle:
+        return self._pin(("named", name))
+
+    def agg(self) -> _Handle:
+        return _Handle("agg", 0)
+
+    # --- ops --------------------------------------------------------------
+    def _alloc(self) -> int:
+        if self._free:
+            return self._free.pop()
+        t = self._next_temp
+        self._next_temp += 1
+        return t
+
+    def _release(self, h: _Handle):
+        if h.kind == "temp" and not h.kept:
+            self._free.append(h.id)
+
+    def _emit(self, op: int, a: _Handle, b: _Handle) -> _Handle:
+        self._release(a)
+        if b is not a:
+            self._release(b)
+        dst = _Handle("temp", self._alloc())
+        self.prog.append((op, (a.kind, a.id), (b.kind, b.id), (dst.kind, dst.id)))
+        return dst
+
+    def mul(self, a, b):
+        return self._emit(OP_MUL, a, b)
+
+    def add(self, a, b):
+        return self._emit(OP_ADD, a, b)
+
+    def sub(self, a, b):
+        return self._emit(OP_SUB, a, b)
+
+    def neg(self, a):
+        return self._emit(OP_SUB, self.const_int(0), a)
+
+    def keep(self, h: _Handle) -> _Handle:
+        h.kept = True
+        return h
+
+    def drop(self, h: _Handle):
+        if h.kind == "temp":
+            h.kept = False
+            self._free.append(h.id)
+
+    def fold_term(self, t: _Handle):
+        """agg = agg * y + t (t consumed)."""
+        a = self.agg()
+        self.prog.append((OP_MUL, ("agg", 0), ("pin", self.pins[("chal", "y")]), ("agg", 0)))
+        self._release(t)
+        self.prog.append((OP_ADD, ("agg", 0), (t.kind, t.id), ("agg", 0)))
+
+    # --- finalize ---------------------------------------------------------
+    def finalize(self) -> tuple[np.ndarray, list, int]:
+        """-> ((I, 4) int32 program, pin keys, total registers).
+        Register layout: [0]=agg, [1..n_pins]=pins, then temps."""
+        n_pins = len(self.pin_keys)
+
+        def reg(kind, hid):
+            if kind == "agg":
+                return 0
+            if kind == "pin":
+                return 1 + hid
+            return 1 + n_pins + hid
+
+        prog = np.array(
+            [(op, reg(*a), reg(*b), reg(*d)) for op, a, b, d in self.prog],
+            dtype=np.int32,
+        )
+        return prog, self.pin_keys, 1 + n_pins + self._next_temp
+
 
 def quotient_poly_keys(cs, num_perm_chunks: int):
     """Canonical ordering of every polynomial the quotient evaluation reads;
@@ -45,6 +175,100 @@ def quotient_poly_keys(cs, num_perm_chunks: int):
     for i in range(len(cs.lookups)):
         keys += [("lk_a", i), ("lk_s", i), ("lk_z", i)]
     return keys
+
+
+def _emit_constraints(em: _VMEmitter, cs, usable: int, chunk_meta, lookups, gates):
+    """Walk every constraint term through the emitter, folding with y in the
+    SAME order as the host path (plonk/arguments.py) so the quotient is
+    bit-identical."""
+
+    def eval_expr(expr):
+        return expr.evaluate(
+            constant=lambda v: em.const_int(v),
+            cell=lambda column, rot: em.inp(
+                "advice"
+                if column.kind == ColumnType.ADVICE
+                else ("fixed" if column.kind == ColumnType.FIXED else "instance"),
+                column.index,
+                rot,
+            ),
+            selector=lambda s: em.inp("fixed", selector_column_index(cs, s.index)),
+            add=em.add,
+            mul=em.mul,
+            neg=em.neg,
+        )
+
+    one = em.named("one")
+    l0 = em.named("l0")
+    llast = em.named("llast")
+    lactive = em.named("lactive")
+    x = em.named("x")
+    theta, beta, gamma = em.chal("theta"), em.chal("beta"), em.chal("gamma")
+    em.chal("y")  # ensure the fold challenge is pinned
+
+    for gate in gates:
+        for _, poly in gate.constraints:
+            em.fold_term(eval_expr(poly))
+
+    # --- permutation terms (same order as arguments.permutation_terms) ----
+    if chunk_meta:
+        n_chunks = len(chunk_meta)
+        z = lambda c: em.inp("perm_z", c)
+        em.fold_term(em.mul(l0, em.sub(one, z(0))))
+        zl = z(n_chunks - 1)
+        em.fold_term(em.mul(llast, em.sub(em.mul(zl, zl), zl)))
+        for c in range(1, n_chunks):
+            prev_last = em.inp("perm_z", c - 1, usable)
+            em.fold_term(em.mul(l0, em.sub(z(c), prev_last)))
+        for c, entries in enumerate(chunk_meta):
+            # left/right accumulate across the loop: keep while live, clear
+            # kept on the final use so em.sub releases them exactly once
+            left = em.inp("perm_z", c, 1)
+            right = z(c)
+            for kind, idx, j, delta_j in entries:
+                v = em.inp(kind, idx)
+                sigma = em.inp("sigma", j)
+                lf = em.add(v, em.add(em.mul(beta, sigma), gamma))
+                left.kept = False  # released by this use
+                left = em.keep(em.mul(left, lf))
+                bx = em.mul(em.mul(beta, em.const_int(delta_j)), x)
+                rf = em.add(v, em.add(bx, gamma))
+                right.kept = False
+                right = em.keep(em.mul(right, rf))
+            left.kept = right.kept = False
+            em.fold_term(em.mul(em.sub(left, right), lactive))
+
+    # --- lookup terms (same order as arguments.lookup_terms) --------------
+    for li, lk in enumerate(lookups):
+        a_comp = None
+        s_comp = None
+        for i_expr, t_expr in lk.mapping:
+            iv = eval_expr(i_expr)
+            tv = eval_expr(t_expr)
+            if a_comp is None:
+                a_comp = em.keep(iv)
+                s_comp = em.keep(tv)
+            else:
+                a_comp.kept = False
+                a_comp = em.keep(em.add(em.mul(a_comp, theta), iv))
+                s_comp.kept = False
+                s_comp = em.keep(em.add(em.mul(s_comp, theta), tv))
+        zr = em.inp("lk_z", li)
+        z_next = em.inp("lk_z", li, 1)
+        a_perm = em.inp("lk_a", li)
+        s_perm = em.inp("lk_s", li)
+        a_prev = em.inp("lk_a", li, -1)
+        em.fold_term(em.mul(l0, em.sub(one, zr)))
+        em.fold_term(em.mul(llast, em.sub(em.mul(zr, zr), zr)))
+        lhs = em.mul(em.mul(z_next, em.add(a_perm, beta)), em.add(s_perm, gamma))
+        a_comp.kept = False
+        s_comp.kept = False
+        rhs = em.mul(em.mul(zr, em.add(a_comp, beta)), em.add(s_comp, gamma))
+        em.fold_term(em.mul(em.sub(lhs, rhs), lactive))
+        diff = em.keep(em.sub(a_perm, s_perm))
+        em.fold_term(em.mul(l0, diff))
+        diff.kept = False
+        em.fold_term(em.mul(em.mul(diff, em.sub(a_perm, a_prev)), lactive))
 
 
 class QuotientEvaluator:
@@ -83,12 +307,14 @@ class QuotientEvaluator:
         def mont_const(vals):
             return jnp.asarray(ints_to_limbs([v * r % P for v in vals]))
 
-        c_l0 = mont_const(l0)
-        c_llast = mont_const(llast)
-        c_lactive = mont_const(lactive)
-        c_x = mont_const(xs)
+        named_arrays = {
+            "l0": mont_const(l0),
+            "llast": mont_const(llast),
+            "lactive": mont_const(lactive),
+            "x": mont_const(xs),
+            "one": jnp.broadcast_to(jnp.asarray(spec.one_mont), (ext, L.NLIMBS)),
+        }
         c_tinv = mont_const(t_inv)
-        one_mont = jnp.asarray(spec.one_mont)
 
         # permutation chunk metadata
         perm_cols = vk.permutation.columns
@@ -102,8 +328,11 @@ class QuotientEvaluator:
                 entries.append((col.kind.value, col.index, j, pow(DELTA, j, P)))
             chunk_meta.append(entries)
 
-        lookups = cs.lookups
-        gates = cs.gates
+        # --- emit the constraint bytecode (host, once) ---------------------
+        em = _VMEmitter()
+        _emit_constraints(em, cs, usable, chunk_meta, cs.lookups, cs.gates)
+        prog_np, pin_keys, n_regs = em.finalize()
+        self.vm_size = (len(prog_np), n_regs)
 
         def run(batch, challenges):
             # batch: (B, ext, 16) plain limbs of COEFFICIENT polys (padded);
@@ -122,93 +351,55 @@ class QuotientEvaluator:
 
             bm = jax.lax.map(extend_one, batch)
             ch = L.to_mont(spec, challenges)
-            theta, beta, gamma, y = ch[0], ch[1], ch[2], ch[3]
+            chal_arrays = {"theta": ch[0], "beta": ch[1], "gamma": ch[2], "y": ch[3]}
 
             def arr(key):
                 return bm[self.key_index[key]]
 
-            def rotated(a, rot):
-                return jnp.roll(a, -rot * rot_scale, axis=0)
-
-            def cell_fn(column, rot):
-                kind = "advice" if column.kind == ColumnType.ADVICE else (
-                    "fixed" if column.kind == ColumnType.FIXED else "instance"
-                )
-                return rotated(arr((kind, column.index)), rot)
-
-            def eval_expr(expr):
-                return expr.evaluate(
-                    constant=lambda v: jnp.asarray(ints_to_limbs([v % P * r % P])[0]),
-                    cell=cell_fn,
-                    selector=lambda s: arr(("fixed", selector_column_index(cs, s.index))),
-                    add=lambda a, b: L.add(spec, a, b),
-                    mul=lambda a, b: L.mont_mul(spec, a, b),
-                    neg=lambda a: L.neg(spec, a),
-                )
-
-            terms = []
-            for gate in gates:
-                for _, poly in gate.constraints:
-                    terms.append(eval_expr(poly))
-
-            # --- permutation terms (device twin of arguments.permutation_terms)
-            if chunk_meta:
-                zs = [arr(("perm_z", c)) for c in range(len(chunk_meta))]
-                terms.append(L.mont_mul(spec, c_l0, L.sub(spec, one_mont[None, :], zs[0])))
-                zl = zs[-1]
-                terms.append(L.mont_mul(spec, c_llast, L.sub(spec, L.mont_mul(spec, zl, zl), zl)))
-                for c in range(1, len(chunk_meta)):
-                    prev_last = rotated(zs[c - 1], usable)
-                    terms.append(L.mont_mul(spec, c_l0, L.sub(spec, zs[c], prev_last)))
-                for c, entries in enumerate(chunk_meta):
-                    left = rotated(zs[c], 1)
-                    right = zs[c]
-                    for kind, idx, j, delta_j in entries:
-                        v = arr((kind, idx))
-                        sigma = arr(("sigma", j))
-                        dj = jnp.asarray(ints_to_limbs([delta_j * r % P])[0])
-                        left = L.mont_mul(
-                            spec,
-                            left,
-                            L.add(spec, v, L.add(spec, L.mont_mul(spec, beta, sigma), gamma)),
+            # --- bind pinned registers -------------------------------------
+            pin_vals = []
+            for key in pin_keys:
+                if key[0] == "inp":
+                    _, kind, index, rot = key
+                    pin_vals.append(jnp.roll(arr((kind, index)), -rot * rot_scale, axis=0))
+                elif key[0] == "const":
+                    pin_vals.append(
+                        jnp.broadcast_to(
+                            jnp.asarray(ints_to_limbs([key[1] * r % P])[0]), (ext, L.NLIMBS)
                         )
-                        bx = L.mont_mul(spec, L.mont_mul(spec, beta, dj[None, :]), c_x)
-                        right = L.mont_mul(spec, right, L.add(spec, v, L.add(spec, bx, gamma)))
-                    terms.append(L.mont_mul(spec, L.sub(spec, left, right), c_lactive))
+                    )
+                elif key[0] == "chal":
+                    pin_vals.append(jnp.broadcast_to(chal_arrays[key[1]], (ext, L.NLIMBS)))
+                else:  # named
+                    pin_vals.append(named_arrays[key[1]])
+            n_temps = n_regs - 1 - len(pin_vals)
+            regs0 = jnp.concatenate(
+                [
+                    jnp.zeros((1, ext, L.NLIMBS), jnp.uint32),  # agg
+                    jnp.stack(pin_vals).astype(jnp.uint32),
+                    jnp.zeros((n_temps, ext, L.NLIMBS), jnp.uint32),
+                ]
+            )
 
-            # --- lookup terms (device twin of arguments.lookup_terms) ------
-            for li, lk in enumerate(lookups):
-                a_comp = None
-                s_comp = None
-                for i_expr, t_expr in lk.mapping:
-                    iv = eval_expr(i_expr)
-                    tv = eval_expr(t_expr)
-                    a_comp = iv if a_comp is None else L.add(spec, L.mont_mul(spec, a_comp, theta), iv)
-                    s_comp = tv if s_comp is None else L.add(spec, L.mont_mul(spec, s_comp, theta), tv)
-                z = arr(("lk_z", li))
-                z_next = rotated(z, 1)
-                a_perm = arr(("lk_a", li))
-                s_perm = arr(("lk_s", li))
-                a_prev = rotated(a_perm, -1)
-                terms.append(L.mont_mul(spec, c_l0, L.sub(spec, one_mont[None, :], z)))
-                terms.append(L.mont_mul(spec, c_llast, L.sub(spec, L.mont_mul(spec, z, z), z)))
-                lhs = L.mont_mul(
-                    spec, L.mont_mul(spec, z_next, L.add(spec, a_perm, beta)), L.add(spec, s_perm, gamma)
-                )
-                rhs = L.mont_mul(
-                    spec, L.mont_mul(spec, z, L.add(spec, a_comp, beta)), L.add(spec, s_comp, gamma)
-                )
-                terms.append(L.mont_mul(spec, L.sub(spec, lhs, rhs), c_lactive))
-                diff = L.sub(spec, a_perm, s_perm)
-                terms.append(L.mont_mul(spec, c_l0, diff))
-                terms.append(
-                    L.mont_mul(spec, L.mont_mul(spec, diff, L.sub(spec, a_perm, a_prev)), c_lactive)
-                )
+            # --- execute the bytecode: one field op per scan step ----------
+            prog = jnp.asarray(prog_np)
 
-            agg = terms[0]
-            for t in terms[1:]:
-                agg = L.add(spec, L.mont_mul(spec, agg, y[None, :]), t)
-            h_ext = L.mont_mul(spec, agg, c_tinv)
+            def step(regs, ins):
+                a = jax.lax.dynamic_index_in_dim(regs, ins[1], 0, keepdims=False)
+                b = jax.lax.dynamic_index_in_dim(regs, ins[2], 0, keepdims=False)
+                res = jax.lax.switch(
+                    ins[0],
+                    (
+                        lambda: L.mont_mul(spec, a, b),
+                        lambda: L.add(spec, a, b),
+                        lambda: L.sub(spec, a, b),
+                    ),
+                )
+                regs = jax.lax.dynamic_update_index_in_dim(regs, res, ins[3], 0)
+                return regs, None
+
+            regs, _ = jax.lax.scan(step, regs0, prog)
+            h_ext = L.mont_mul(spec, regs[0], c_tinv)
 
             # extended iNTT + coset unscale, still on device
             plan_inv = D.plan_for(P, ext, pow(domain.extended_omega, -1, P))

@@ -149,9 +149,14 @@ def _msm_device_wsums(spec: FieldSpec, qx, qy, qinf, digits, c: int, complete: b
     total_rows = w_count * n
     one = jnp.asarray(spec.one_mont)
 
-    # per-window sort (batched along the window axis)
-    idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (w_count, n))
-    k_sw, order_w = jax.lax.sort_key_val(digits, idx, dimension=1)
+    # per-window sort (batched along the window axis); digit and point
+    # index are packed into ONE int32 key (digit in the high bits) so the
+    # sort moves half the payload of a key-value sort
+    assert n <= (1 << 23), "packed sort key needs idx bits + c <= 31"
+    packed = (digits.astype(jnp.int32) << 23) | jnp.arange(n, dtype=jnp.int32)
+    packed = jax.lax.sort(packed, dimension=1)
+    k_sw = packed >> 23
+    order_w = packed & ((1 << 23) - 1)
     k_s = (jnp.arange(w_count, dtype=jnp.int32)[:, None] * nbuck + k_sw).reshape(total_rows)
     src = order_w.reshape(total_rows)  # original point index per sorted row
 
@@ -210,7 +215,12 @@ def _msm_device_wsums(spec: FieldSpec, qx, qy, qinf, digits, c: int, complete: b
 
     # ---- lane-boundary repair -------------------------------------------
     lane_flag = jnp.any(head_sl, axis=0)  # lane contains a segment head
-    fix_levels = max(1, (lanes - 1).bit_length())
+    # scan depth: a headless lane run is bounded by one window's lane span
+    # (every window boundary row starts a new k_s segment, and windows are
+    # lane-aligned: n and s_steps are powers of two with s_steps <= n), so
+    # runs never exceed n // s_steps = lanes // w_count lanes
+    max_run = max(1, lanes // w_count) if lanes % w_count == 0 else lanes
+    fix_levels = max(1, min((lanes - 1).bit_length(), max_run.bit_length()))
     g = _hillis_steele_scan(spec, tail, lane_flag, fix_levels)
     carry_in, _ = _shift_points(g, lane_flag, 1, jnp.ones((), bool))
 
@@ -245,7 +255,9 @@ def _msm_device_wsums(spec: FieldSpec, qx, qy, qinf, digits, c: int, complete: b
     whead = np.zeros(w_count * m, dtype=bool)
     whead[::m] = True
     whead = jnp.asarray(whead)
-    agg_levels = max(1, (w_count * m - 1).bit_length())
+    # segments are exactly m rows long, so the segmented scans only need to
+    # cover distance m-1 — not the whole w_count*m row span
+    agg_levels = max(1, (m - 1).bit_length())
     suffix = _hillis_steele_scan(spec, rev, whead, agg_levels)
     totals = _hillis_steele_scan(spec, suffix, whead, agg_levels)
     ends = jnp.asarray(np.arange(1, w_count + 1) * m - 1)
