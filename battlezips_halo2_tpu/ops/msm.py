@@ -58,6 +58,49 @@ def scalars_to_digits(scalars, c: int = WINDOW_BITS) -> np.ndarray:
     return out
 
 
+def signed_window_count(c: int, scalar_bits: int = 255) -> int:
+    """Static window count for signed c-bit digits of scalars < 2^scalar_bits
+    (Pasta moduli < 2^255): one extra window iff the top window's maximum
+    value plus a carry can reach 2^(c-1)."""
+    w = (scalar_bits + c - 1) // c
+    max_top = 1 << (scalar_bits - c * (w - 1))  # top window max + carry
+    if max_top >= (1 << (c - 1)):
+        w += 1
+    return w
+
+
+def scalars_to_signed_digits(scalars, c: int) -> np.ndarray:
+    """(W, N) int32 signed digits in [-2^(c-1), 2^(c-1)]: value = Σ d_w 2^(cw).
+
+    Signed digits halve the bucket count per window (bucket id = |d|, the
+    sign selects P vs -P), which makes larger windows affordable — the
+    Pippenger row count W·N drops accordingly. Vectorized bit-slicing, no
+    per-scalar Python loop."""
+    n = len(scalars)
+    w_count = signed_window_count(c)
+    if n == 0:
+        return np.zeros((w_count, 0), dtype=np.int32)
+    buf = b"".join(int(s).to_bytes(32, "little") for s in scalars)
+    bits = np.unpackbits(
+        np.frombuffer(buf, dtype=np.uint8).reshape(n, 32), axis=1, bitorder="little"
+    )  # (N, 256)
+    pad = w_count * c - 256
+    if pad > 0:
+        bits = np.concatenate([bits, np.zeros((n, pad), np.uint8)], axis=1)
+    weights = (1 << np.arange(c, dtype=np.int64)).astype(np.int64)
+    vals = bits[:, : w_count * c].reshape(n, w_count, c).astype(np.int64) @ weights  # (N, W)
+    half = 1 << (c - 1)
+    digits = np.zeros((w_count, n), dtype=np.int32)
+    carry = np.zeros(n, dtype=np.int64)
+    for w in range(w_count):
+        t = vals[:, w] + carry
+        hi = t >= half
+        digits[w] = np.where(hi, t - (1 << c), t).astype(np.int32)
+        carry = hi.astype(np.int64)
+    assert not carry.any(), "scalar overflow: signed_window_count too small"
+    return digits
+
+
 import os
 
 _PALLAS_MSM = os.environ.get("BZ_PALLAS_MSM", "") not in ("", "0")
@@ -115,17 +158,32 @@ def _hillis_steele_scan(spec: FieldSpec, pts: JacobianPoint, head, levels: int):
 def _lane_block(n_rows: int, n_points: int) -> int:
     """Number of vector lanes for the serial bucket accumulation. Power of
     two, divides n_rows (n_points is a power of two and windows * n_points =
-    n_rows, so any power of two <= n_points divides n_rows)."""
-    lanes = min(8192, n_points, max(64, n_rows // 8))
+    n_rows, so any power of two <= n_points divides n_rows).
+
+    Wide is better: the per-step field math is latency-bound well past 8K
+    lanes (measured: a 32K-lane mixed add costs ~the same wall time as an
+    8K-lane one), so lanes default high and the step count shrinks
+    proportionally. The cap bounds the (lanes, 1024) bf16 mul intermediate
+    (64 MB at 32K lanes) and the per-step gather size."""
+    cap = int(os.environ.get("BZ_MSM_LANES", "32768"))
+    lanes = min(cap, n_points, max(64, n_rows // 8))
     return max(1, 1 << (lanes.bit_length() - 1))
 
 
-def _msm_device_wsums(spec: FieldSpec, qx, qy, qinf, digits, c: int, complete: bool = False):
+def _msm_device_wsums(
+    spec: FieldSpec, qx, qy, qinf, digits, c: int, complete: bool = False, signed: bool = False
+):
     """digits: (W, N) -> (wsums, collision) where wsums holds per-window
     sums S_w as a (W, 16)-leaf JacobianPoint (callers fold with
     sum_w 2^(c*w) S_w) and collision is a () bool: True iff the fast
     incomplete bucket add hit its excluded P == Q case in a live bucket
     (callers then redo with complete=True; see point_add_mixed_incomplete).
+
+    With ``signed=True``, digits are signed c-bit windows
+    (scalars_to_signed_digits) and qx/qy/qinf must carry 2N rows: the
+    original points followed by their negations ([P | -P]); the bucket count
+    per window drops from 2^c to 2^(c-1)+1.
+
     Work-efficient Pippenger bucket accumulation:
 
     1. per-window argsort of digits (one batched XLA sort);
@@ -140,25 +198,36 @@ def _msm_device_wsums(spec: FieldSpec, qx, qy, qinf, digits, c: int, complete: b
        log2(LANES)-depth head-flag scan over the per-lane tail runs yields
        each lane's carry-in, and at most ONE bucket per lane (the one closed
        before the lane's first head) needs a carry add;
-    4. per-window bucket aggregation keeps the suffix-sum identity
-       sum_b b*S_b = sum_j (sum_{b>=j} S_b) as two log-depth segmented
-       scans (bucket count is tiny vs rows), then a Horner window fold.
+    4. per-window bucket aggregation: two-level serial decomposition
+       (_aggregate_windows) — ~2(sqrt buckets) point-add depth instead of
+       log-depth full-width suffix scans; the Horner window fold happens on
+       the host (host_window_fold).
     """
     w_count, n = digits.shape
-    nbuck = 1 << c
+    nbuck = ((1 << (c - 1)) + 1) if signed else (1 << c)  # bucket ids 0..nbuck-1
     total_rows = w_count * n
     one = jnp.asarray(spec.one_mont)
 
-    # per-window sort (batched along the window axis); digit and point
-    # index are packed into ONE int32 key (digit in the high bits) so the
-    # sort moves half the payload of a key-value sort
-    assert n <= (1 << 23), "packed sort key needs idx bits + c <= 31"
-    packed = (digits.astype(jnp.int32) << 23) | jnp.arange(n, dtype=jnp.int32)
-    packed = jax.lax.sort(packed, dimension=1)
-    k_sw = packed >> 23
-    order_w = packed & ((1 << 23) - 1)
+    idx_bits = max(1, (n - 1).bit_length())
+    if signed:
+        # bucket by |digit|; the sign rides in the payload and selects the
+        # negated-point half of the doubled point arrays (qx/qy/qinf carry
+        # 2N rows: [P | -P]) — sign handling costs zero per-row field math
+        mag = jnp.abs(digits.astype(jnp.int32))
+        sgn = (digits < 0).astype(jnp.int32)
+        payload = (sgn << idx_bits) | jnp.arange(n, dtype=jnp.int32)
+        k_sw, pay_s = jax.lax.sort([mag, payload], dimension=1, num_keys=1)
+        order_w = (pay_s & ((1 << idx_bits) - 1)) + (pay_s >> idx_bits) * n
+    else:
+        # digit and point index packed into ONE int32 key (digit in the
+        # high bits) so the sort moves half the payload of a key-value sort
+        assert c + idx_bits <= 31, "packed sort key needs idx bits + c <= 31"
+        packed = (digits.astype(jnp.int32) << idx_bits) | jnp.arange(n, dtype=jnp.int32)
+        packed = jax.lax.sort(packed, dimension=1)
+        k_sw = packed >> idx_bits
+        order_w = packed & ((1 << idx_bits) - 1)
     k_s = (jnp.arange(w_count, dtype=jnp.int32)[:, None] * nbuck + k_sw).reshape(total_rows)
-    src = order_w.reshape(total_rows)  # original point index per sorted row
+    src = order_w.reshape(total_rows)  # point-array row per sorted row
 
     head = jnp.concatenate([jnp.ones(1, bool), k_s[1:] != k_s[:-1]])
     is_last = jnp.concatenate([k_s[1:] != k_s[:-1], jnp.ones(1, bool)])
@@ -215,11 +284,10 @@ def _msm_device_wsums(spec: FieldSpec, qx, qy, qinf, digits, c: int, complete: b
 
     # ---- lane-boundary repair -------------------------------------------
     lane_flag = jnp.any(head_sl, axis=0)  # lane contains a segment head
-    # scan depth: a headless lane run is bounded by one window's lane span
-    # (every window boundary row starts a new k_s segment, and windows are
-    # lane-aligned: n and s_steps are powers of two with s_steps <= n), so
-    # runs never exceed n // s_steps = lanes // w_count lanes
-    max_run = max(1, lanes // w_count) if lanes % w_count == 0 else lanes
+    # scan depth: a headless lane run never crosses a window boundary (every
+    # window's first row starts a new k_s segment), and one window's n rows
+    # span at most lanes//w_count + 1 lanes
+    max_run = max(1, lanes // w_count + 1)
     fix_levels = max(1, min((lanes - 1).bit_length(), max_run.bit_length()))
     g = _hillis_steele_scan(spec, tail, lane_flag, fix_levels)
     carry_in, _ = _shift_points(g, lane_flag, 1, jnp.ones((), bool))
@@ -241,27 +309,88 @@ def _msm_device_wsums(spec: FieldSpec, qx, qy, qinf, digits, c: int, complete: b
         buckets.z.at[tgt_fix].set(fixed.z),
     )
 
-    # per-window aggregation: sum_b b*S_b = sum_j (sum_{b>=j} S_b), both sums
-    # as flat segmented scans over the per-window reversed bucket rows
+    wsums = _aggregate_windows(spec, buckets, w_count, nbuck)
+    return wsums, collision
+
+
+def _aggregate_windows(spec: FieldSpec, buckets: JacobianPoint, w_count: int, nbuck: int):
+    """Per-window weighted bucket sum T_w = sum_{b=1..m} b * S_{w,b} as a
+    two-level serial decomposition (m = nbuck - 1 live buckets):
+
+        b = k*g + i  (i in [1, g], k in [0, G), g*G >= m)
+        T = sum_k [ k*g * U_k + A_k ],  U_k = sum_i S_{kg+i},
+                                        A_k = sum_i i * S_{kg+i}
+
+    Level 1 computes all (A_k, U_k) with one g-step serial scan at width
+    W*G (running suffix r += S; acc += r). Level 2 folds sum_k k*U_k and
+    sum_k A_k with one G-step serial scan at width W, then T = g*(sum k U_k)
+    + sum A_k via log2(g) doublings. Total ~2(g+G) point-add DEPTH — far
+    cheaper than the previous log-depth Hillis-Steele suffix scans whose
+    every level was a full-width (W*m) point add."""
     m = nbuck - 1
-    rev_idx = np.concatenate(
-        [w * (nbuck + 1) + np.arange(m, 0, -1) for w in range(w_count)]
-    ).astype(np.int32)
-    rev = JacobianPoint(
-        buckets.x[jnp.asarray(rev_idx)],
-        buckets.y[jnp.asarray(rev_idx)],
-        buckets.z[jnp.asarray(rev_idx)],
+    gbits = max(1, ((m - 1).bit_length() + 1) // 2)
+    g = 1 << gbits
+    G = (m + g - 1) // g
+    stride = nbuck + 1
+    # xs rows for level 1, step t processes local id (g - t): bucket id
+    # b = k*g + (g - t); ids > m point at the per-window spare slot (never
+    # written -> identity)
+    idx = np.zeros((g, w_count * G), dtype=np.int32)
+    for t in range(g):
+        local = g - t
+        for k in range(G):
+            b = k * g + local
+            col = np.arange(w_count) * G + k
+            idx[t, col] = np.arange(w_count) * stride + (b if b <= m else nbuck)
+    idx = jnp.asarray(idx)
+
+    def gather(i):
+        return JacobianPoint(buckets.x[i], buckets.y[i], buckets.z[i])
+
+    def level1(carry, idx_t):
+        r, acc = carry
+        row = gather(idx_t)
+        r = point_add(spec, r, row)
+        acc = point_add(spec, acc, r)
+        return (r, acc), None
+
+    init = (infinity(spec, (w_count * G,)), infinity(spec, (w_count * G,)))
+    (u_flat, a_flat), _ = jax.lax.scan(level1, init, idx)
+    # (W, G, 16) leaves
+    resh = lambda p: JacobianPoint(
+        p.x.reshape(w_count, G, 16), p.y.reshape(w_count, G, 16), p.z.reshape(w_count, G, 16)
     )
-    whead = np.zeros(w_count * m, dtype=bool)
-    whead[::m] = True
-    whead = jnp.asarray(whead)
-    # segments are exactly m rows long, so the segmented scans only need to
-    # cover distance m-1 — not the whole w_count*m row span
-    agg_levels = max(1, (m - 1).bit_length())
-    suffix = _hillis_steele_scan(spec, rev, whead, agg_levels)
-    totals = _hillis_steele_scan(spec, suffix, whead, agg_levels)
-    ends = jnp.asarray(np.arange(1, w_count + 1) * m - 1)
-    return JacobianPoint(totals.x[ends], totals.y[ends], totals.z[ends]), collision
+    U = resh(u_flat)
+    A = resh(a_flat)
+
+    acc3 = JacobianPoint(A.x[:, 0], A.y[:, 0], A.z[:, 0])  # A_0
+    if G > 1:
+        # level 2: k descending G-1..1; r2 += U_k ; acc2 += r2 ; acc3 += A_k
+        ks = np.arange(G - 1, 0, -1)
+        xs = (
+            (U.x[:, ks].transpose(1, 0, 2), U.y[:, ks].transpose(1, 0, 2), U.z[:, ks].transpose(1, 0, 2)),
+            (A.x[:, ks].transpose(1, 0, 2), A.y[:, ks].transpose(1, 0, 2), A.z[:, ks].transpose(1, 0, 2)),
+        )
+
+        def level2(carry, x):
+            r2, acc2, acc3 = carry
+            (ux, uy, uz), (ax_, ay_, az_) = x
+            r2 = point_add(spec, r2, JacobianPoint(ux, uy, uz))
+            acc2 = point_add(spec, acc2, r2)
+            acc3 = point_add(spec, acc3, JacobianPoint(ax_, ay_, az_))
+            return (r2, acc2, acc3), None
+
+        init2 = (
+            infinity(spec, (w_count,)),
+            infinity(spec, (w_count,)),
+            acc3,
+        )
+        (_, acc2, acc3), _ = jax.lax.scan(level2, init2, xs)
+        # T = g * acc2 + acc3
+        for _ in range(gbits):
+            acc2 = point_double(spec, acc2)
+        return point_add(spec, acc2, acc3)
+    return acc3
 
 
 def _horner_device(spec: FieldSpec, wsums: JacobianPoint, c: int) -> JacobianPoint:
@@ -317,29 +446,72 @@ def _msm_device_batch(spec: FieldSpec, qx, qy, qinf, digits_batch, c: int, compl
     return jax.vmap(lambda d: _msm_device_wsums(spec, qx, qy, qinf, d, c, complete))(digits_batch)
 
 
+def auto_window(n: int) -> tuple[int, bool]:
+    """(c, signed) minimizing scan rows (W*n) + aggregation depth for the
+    padded problem size n. Signed digits halve buckets, making larger
+    windows (fewer Pippenger rows) affordable; tiny problems keep the
+    unsigned byte fast path."""
+    if n <= (1 << 13):
+        return 8, False
+    if n <= (1 << 15):
+        return 10, True
+    if n <= (1 << 17):
+        return 12, True
+    return 13, True
+
+
+def _signed_doubled(spec, qx, qy, qinf):
+    """[P | -P] row doubling (negated y in the second half) so a signed
+    digit's point select is just an index offset in the gather."""
+    qx2 = jnp.concatenate([qx, qx])
+    qy2 = jnp.concatenate([qy, L.neg(spec, qy)])
+    qinf2 = jnp.concatenate([qinf, qinf])
+    return qx2, qy2, qinf2
+
+
 @functools.lru_cache(maxsize=None)
-def _compiled_msm(modulus: int, n: int, c: int, n_windows: int, complete: bool = False):
+def _compiled_msm(
+    modulus: int, n: int, c: int, n_windows: int, complete: bool = False, signed: bool = False
+):
     spec = FieldSpec.make(modulus)
 
     @jax.jit
     def f(qx, qy, qinf, digits):
+        if signed:
+            qx2, qy2, qinf2 = _signed_doubled(spec, qx, qy, qinf)
+            return _msm_device_wsums(spec, qx2, qy2, qinf2, digits, c, complete, signed=True)
         return _msm_device_wsums(spec, qx, qy, qinf, digits, c, complete)
 
     return f
 
 
 @functools.lru_cache(maxsize=None)
-def _compiled_msm_batch(modulus: int, n: int, c: int, n_windows: int, batch: int, complete: bool = False):
+def _compiled_msm_batch(
+    modulus: int,
+    n: int,
+    c: int,
+    n_windows: int,
+    batch: int,
+    complete: bool = False,
+    signed: bool = False,
+):
     spec = FieldSpec.make(modulus)
 
     @jax.jit
     def f(qx, qy, qinf, digits_batch):
+        if signed:
+            qx2, qy2, qinf2 = _signed_doubled(spec, qx, qy, qinf)
+            return jax.vmap(
+                lambda d: _msm_device_wsums(spec, qx2, qy2, qinf2, d, c, complete, signed=True)
+            )(digits_batch)
         return _msm_device_batch(spec, qx, qy, qinf, digits_batch, c, complete)
 
     return f
 
 
-def msm_many(curve: Curve, points, scalars_list, c: int = WINDOW_BITS, force_device: bool = False):
+def msm_many(
+    curve: Curve, points, scalars_list, c: int | None = None, force_device: bool = False
+):
     """Batched MSM: many scalar vectors over one shared point set, one
     device dispatch. Returns a list of affine results."""
     if not scalars_list:
@@ -348,6 +520,11 @@ def msm_many(curve: Curve, points, scalars_list, c: int = WINDOW_BITS, force_dev
         return [curve.pippenger(points, s) for s in scalars_list]
     n0 = len(points)
     target = max(64, 1 << (n0 - 1).bit_length())
+    if c is None:
+        c, signed = auto_window(target)
+    else:
+        signed = False
+    to_digits = scalars_to_signed_digits if signed else scalars_to_digits
     pts = list(points) + [curve.generator] * (target - n0)
     b0 = len(scalars_list)
     spec = FieldSpec.make(curve.base.modulus)
@@ -362,19 +539,21 @@ def msm_many(curve: Curve, points, scalars_list, c: int = WINDOW_BITS, force_dev
         b_target = max(1, 1 << (len(group) - 1).bit_length())
         digit_stack = np.stack(
             [
-                scalars_to_digits([s % curve.scalar.modulus for s in sc] + [0] * (target - n0), c)
+                to_digits([s % curve.scalar.modulus for s in sc] + [0] * (target - n0), c)
                 for sc in group
             ]
-            + [scalars_to_digits([0] * target, c)] * (b_target - len(group))
+            + [to_digits([0] * target, c)] * (b_target - len(group))
         )
         w = digit_stack.shape[1]
         dstack = jnp.asarray(digit_stack)
-        f = _compiled_msm_batch(curve.base.modulus, target, c, w, b_target)
+        f = _compiled_msm_batch(curve.base.modulus, target, c, w, b_target, signed=signed)
         out, collisions = f(jac.x, jac.y, qinf, dstack)
         if bool(np.any(np.asarray(collisions))):
             # incomplete-add P == Q hit (duplicate points in a bucket or a
             # DL-relation collision): redo this chunk with the complete law
-            f = _compiled_msm_batch(curve.base.modulus, target, c, w, b_target, complete=True)
+            f = _compiled_msm_batch(
+                curve.base.modulus, target, c, w, b_target, complete=True, signed=signed
+            )
             out, _ = f(jac.x, jac.y, qinf, dstack)
         flat = JacobianPoint(
             out.x.reshape(-1, 16), out.y.reshape(-1, 16), out.z.reshape(-1, 16)
@@ -392,14 +571,15 @@ def device_backend_is_tpu() -> bool:
         return False
 
 
-def msm(curve: Curve, points, scalars, c: int = WINDOW_BITS, force_device: bool = False):
+def msm(curve: Curve, points, scalars, c: int | None = None, force_device: bool = False):
     """Host-facing MSM: affine points (None = identity) x int scalars ->
     affine result.
 
     Dispatches to the device Pippenger kernel on real accelerators (or when
     forced); small problems on the CPU test backend use the exact host
     Pippenger — the device kernel's sequential scan depth is constant in n,
-    so tiny MSMs gain nothing from it."""
+    so tiny MSMs gain nothing from it. Window size and signed-digit use are
+    auto-picked from the problem size (auto_window) unless c is given."""
     assert len(points) == len(scalars)
     if not points:
         return None
@@ -408,6 +588,10 @@ def msm(curve: Curve, points, scalars, c: int = WINDOW_BITS, force_device: bool 
     # pad to a power of two (min 64) so arbitrary problem sizes share a small
     # set of compiled kernels (zero scalars land in the discarded 0-bucket)
     target = max(64, 1 << (len(points) - 1).bit_length())
+    if c is None:
+        c, signed = auto_window(target)
+    else:
+        signed = False
     if len(points) < target:
         pad = target - len(points)
         points = list(points) + [curve.generator] * pad
@@ -415,10 +599,13 @@ def msm(curve: Curve, points, scalars, c: int = WINDOW_BITS, force_device: bool 
     spec = FieldSpec.make(curve.base.modulus)
     jac = affine_to_jacobian_host(spec, points)
     qinf = jnp.asarray(np.array([p is None for p in points], dtype=bool))
-    digits = jnp.asarray(scalars_to_digits([s % curve.scalar.modulus for s in scalars], c))
-    f = _compiled_msm(curve.base.modulus, len(points), c, digits.shape[0])
+    to_digits = scalars_to_signed_digits if signed else scalars_to_digits
+    digits = jnp.asarray(to_digits([s % curve.scalar.modulus for s in scalars], c))
+    f = _compiled_msm(curve.base.modulus, len(points), c, digits.shape[0], signed=signed)
     wsums, collision = f(jac.x, jac.y, qinf, digits)  # (W, 16) leaves
     if bool(np.asarray(collision)):
-        f = _compiled_msm(curve.base.modulus, len(points), c, digits.shape[0], complete=True)
+        f = _compiled_msm(
+            curve.base.modulus, len(points), c, digits.shape[0], complete=True, signed=signed
+        )
         wsums, _ = f(jac.x, jac.y, qinf, digits)
     return host_window_fold(curve, jacobian_to_affine_host(spec, wsums), c)

@@ -54,6 +54,10 @@ def bench_msm(log_size: int, iters: int):
     scalars = [rng.randrange(VESTA.scalar.modulus) for _ in range(n)]
 
     spec = FieldSpec.make(VESTA.base.modulus)
+    c, signed = M.auto_window(n)
+    to_digits = (
+        (lambda vs: M.scalars_to_signed_digits(vs, c)) if signed else (lambda vs: M.scalars_to_digits(vs, c))
+    )
     jac = affine_to_jacobian_host(spec, points)
     qinf = jax.numpy.asarray(np.zeros(n, dtype=bool))
     # several scalar sets: identical dispatches can be memoized by the
@@ -61,7 +65,7 @@ def bench_msm(log_size: int, iters: int):
     variants = []
     for v in range(max(2, iters)):
         vs = [rng.randrange(VESTA.scalar.modulus) for _ in range(n)]
-        variants.append((vs, jax.numpy.asarray(M.scalars_to_digits(vs))))
+        variants.append((vs, jax.numpy.asarray(to_digits(vs))))
     # device-compute measurement: K window-digit variants scanned inside ONE
     # executable (the axon relay neither blocks on block_until_ready nor
     # tolerates per-op dispatch, so in-jit chaining + one final transfer is
@@ -78,9 +82,12 @@ def bench_msm(log_size: int, iters: int):
         # accumulate per-window sums across variants ((W, 16)-wide adds);
         # the Horner fold is linear in the window sums, so ONE host fold of
         # the accumulated wsums equals the sum of the K MSM results
+        if signed:
+            qx, qy, qinf = M._signed_doubled(spec, qx, qy, qinf)
+
         def body(carry, dig):
             acc, flag = carry
-            r, coll = M._msm_device_wsums(spec, qx, qy, qinf, dig, M.WINDOW_BITS)
+            r, coll = M._msm_device_wsums(spec, qx, qy, qinf, dig, c, signed=signed)
             return (_padd(spec, acc, r), flag | coll), None
 
         from battlezips_halo2_tpu.curves.limb import infinity
@@ -93,7 +100,7 @@ def bench_msm(log_size: int, iters: int):
     def fold(out):
         r, flag = out
         assert not bool(np.asarray(flag)), "incomplete-add collision on distinct points"
-        return M.host_window_fold(VESTA, jacobian_to_affine_host(spec, r), M.WINDOW_BITS)
+        return M.host_window_fold(VESTA, jacobian_to_affine_host(spec, r), c)
 
     # warm the chained executable; gate correctness on its result: the sum
     # of all K variant-MSMs equals ONE host Pippenger over the per-point

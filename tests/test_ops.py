@@ -159,3 +159,55 @@ class TestMsmDevicePaths:
         pts = [base] * 64
         sc = [rng.randrange(VESTA.scalar.modulus) for _ in range(64)]
         assert msm(VESTA, pts, sc, force_device=True) == VESTA.pippenger(pts, sc)
+
+
+class TestSignedMsm:
+    """Signed-digit Pippenger (ops/msm.py): digit recomposition and the
+    device path (doubled [P | -P] arrays, magnitude buckets, two-level
+    aggregation) vs the exact host MSM."""
+
+    def test_signed_digit_recomposition(self):
+        from battlezips_halo2_tpu.ops.msm import scalars_to_signed_digits
+
+        for c in (8, 10, 12, 13, 16):
+            rng = random.Random(c)
+            xs = [0, 1, VESTA.scalar.modulus - 1] + [
+                rng.randrange(VESTA.scalar.modulus) for _ in range(5)
+            ]
+            d = scalars_to_signed_digits(xs, c)
+            half = 1 << (c - 1)
+            assert d.max() <= half and d.min() >= -half
+            for i, s in enumerate(xs):
+                v = sum(int(d[w, i]) << (c * w) for w in range(d.shape[0]))
+                assert v == s
+
+    @pytest.mark.parametrize("c", [10, 13])
+    def test_signed_device_msm_vs_host(self, c):
+        import jax.numpy as jnp
+
+        from battlezips_halo2_tpu.ops import msm as M
+
+        rng = random.Random(3)
+        n = 64
+        pts = [VESTA.mul(VESTA.generator, rng.randrange(1, 10**12)) for _ in range(n)]
+        scalars = [rng.randrange(VESTA.scalar.modulus) for _ in range(n)]
+        scalars[0] = 0
+        pts[1] = None
+        want = VESTA.msm(pts, scalars)
+        spec = FieldSpec.make(VESTA.base.modulus)
+        jac = affine_to_jacobian_host(spec, pts)
+        qinf = jnp.asarray(np.array([p is None for p in pts], dtype=bool))
+        digits = jnp.asarray(M.scalars_to_signed_digits(scalars, c))
+        # complete law: always exact
+        fc = M._compiled_msm(
+            VESTA.base.modulus, n, c, digits.shape[0], complete=True, signed=True
+        )
+        wsums, _ = fc(jac.x, jac.y, qinf, digits)
+        got = M.host_window_fold(VESTA, jacobian_to_affine_host(spec, wsums), c)
+        assert got == want
+        # incomplete fast path: exact unless the collision flag fires
+        fi = M._compiled_msm(VESTA.base.modulus, n, c, digits.shape[0], signed=True)
+        wsums_i, coll = fi(jac.x, jac.y, qinf, digits)
+        if not bool(np.asarray(coll)):
+            got_i = M.host_window_fold(VESTA, jacobian_to_affine_host(spec, wsums_i), c)
+            assert got_i == want
