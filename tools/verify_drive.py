@@ -1,15 +1,7 @@
 #!/usr/bin/env python
-"""End-to-end drive on the REAL TPU (verify skill recipe).
-
-Exercises, on the default (axon/TPU) platform:
-  1. domain flow + off-circuit Pedersen commitment;
-  2. device kernels: mont_mul batch and the Pippenger MSM (the changed
-     ops/msm.py path) bit-exact vs the host layer;
-  3. a full prove/verify roundtrip through the VM-bytecode quotient
-     evaluator (ops/gate_eval.py), plus tamper rejection.
-
-Run from the repo root: python tools/verify_drive.py
-"""
+"""End-to-end verify drive on the real TPU (.claude/skills/verify recipe):
+domain flow, device kernels (mont_mul + signed MSM), adversarial probes, and
+a shot-proof round trip with tamper rejection."""
 
 import os
 import random
@@ -28,73 +20,87 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np
 
-print(f"backend: {jax.default_backend()}, devices: {jax.devices()}", flush=True)
+print(f"backend={jax.default_backend()} devices={jax.devices()}", flush=True)
+t_start = time.time()
 
-# ---- 1. domain flow + Pedersen ------------------------------------------
-from battlezips_halo2_tpu.utils import BinaryValue, Board, Deck, serialize
+
+def ok(name):
+    print(f"  ok: {name}  [{time.time() - t_start:.0f}s]", flush=True)
+
+
+# ---- 1. domain flow ------------------------------------------------------
+from battlezips_halo2_tpu.utils.board import Board
+from battlezips_halo2_tpu.utils.deck import Deck
 from battlezips_halo2_tpu.utils.pedersen import pedersen_commit
+from battlezips_halo2_tpu.utils.ship import DEFAULT_WITNESS_OPTIONS, WitnessOption
 
-deck = Deck.from_placements([(3, 3, True), (5, 4, False), (0, 1, False), (0, 5, True), (6, 1, False)])
+placements = [(0, 0, False), (0, 1, False), (0, 2, False), (0, 3, False), (0, 4, False)]
+deck = Deck.from_placements(placements)
 board = Board.from_deck(deck)
-state = board.state()
-commitment = pedersen_commit(state.to_fp(), 0xBEEF)
+state = board.state(DEFAULT_WITNESS_OPTIONS)
+trapdoor = 0x1234567890ABCDEF
+commitment = pedersen_commit(state.to_fp(), trapdoor)
 assert commitment is not None
-print("domain + pedersen ok:", hex(commitment[0])[:18], flush=True)
+ok("domain flow: deck -> board -> state -> pedersen commitment")
 
-# ---- 2. device kernels ----------------------------------------------------
-from battlezips_halo2_tpu.fields import FP, FP_SPEC, ints_to_limbs, limbs_to_ints
+# malicious witness options must alter the witness
+wit_good = board.witness(DEFAULT_WITNESS_OPTIONS)
+wit_bad = board.witness([WitnessOption.OVERSIZED] + list(DEFAULT_WITNESS_OPTIONS[1:]))
+assert any(a.value != b.value for a, b in zip(wit_good, wit_bad))
+ok("probe: malicious WitnessOption changes witness")
+
+from battlezips_halo2_tpu.utils.binary import BinaryValue
+
+try:
+    BinaryValue.from_fp(1).zip(BinaryValue.from_fp(1))
+    raise AssertionError("overlap zip must raise")
+except ValueError:
+    ok("probe: BinaryValue.zip overlap raises")
+
+# ---- 2. device kernels ---------------------------------------------------
+from battlezips_halo2_tpu.curves import VESTA
+from battlezips_halo2_tpu.fields import FP, FP_SPEC, ints_to_limbs
 from battlezips_halo2_tpu.fields import limb as L
 
-rng = random.Random(1234)
-xs = [rng.randrange(FP.modulus) for _ in range(256)]
-ys = [rng.randrange(FP.modulus) for _ in range(256)]
+rng = random.Random(7)
+xs = [rng.randrange(FP.modulus) for _ in range(512)]
+ys = [rng.randrange(FP.modulus) for _ in range(512)]
 a = L.to_mont(FP_SPEC, ints_to_limbs(xs))
 b = L.to_mont(FP_SPEC, ints_to_limbs(ys))
-t0 = time.time()
-out = jax.jit(lambda a, b: L.from_mont(FP_SPEC, L.mont_mul(FP_SPEC, a, b)))(a, b)
-got = limbs_to_ints(np.asarray(out))
-assert got == [x * y % FP.modulus for x, y in zip(xs, ys)], "mont_mul mismatch"
-print(f"mont_mul 256-batch bit-exact on {jax.default_backend()} ({time.time()-t0:.1f}s)", flush=True)
+got = L.limbs_to_ints(np.asarray(L.from_mont(FP_SPEC, jax.jit(lambda a, b: L.mont_mul(FP_SPEC, a, b))(a, b))))
+assert got == [x * y % FP.modulus for x, y in zip(xs, ys)], "device mont_mul mismatch"
+ok("device mont_mul bit-exact vs host (512 lanes, real TPU)")
 
-from battlezips_halo2_tpu.curves import VESTA
+# signed MSM on device vs host-exact Pippenger
 from battlezips_halo2_tpu.ops.msm import msm
-from battlezips_halo2_tpu.pcs.ipa import cached_params
 
-n = 1 << 10
-pts = cached_params(10).g
-sc = [rng.randrange(VESTA.scalar.modulus) for _ in range(n)]
-t0 = time.time()
-got = msm(VESTA, pts, sc, force_device=True)
-assert got == VESTA.pippenger(pts, sc), "device MSM mismatch vs host Pippenger"
-print(f"MSM 2^10 device == host Pippenger ({time.time()-t0:.1f}s)", flush=True)
+pts = [VESTA.mul(VESTA.generator, rng.randrange(1, VESTA.scalar.modulus)) for _ in range(128)]
+sc = [rng.randrange(VESTA.scalar.modulus) for _ in range(128)]
+want = VESTA.pippenger(pts, sc)
+got = msm(VESTA, pts, sc, c=None, force_device=True)
+assert got == want, "device MSM mismatch"
+ok("device MSM (auto window) bit-exact vs host Pippenger")
 
-# ---- 3. proof roundtrip through the VM quotient evaluator ----------------
-from battlezips_halo2_tpu.pcs.ipa import Params
-from battlezips_halo2_tpu.plonk import create_proof, keygen, verify_proof
+# ---- 3. proof flow -------------------------------------------------------
+from battlezips_halo2_tpu import api
 
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
-from test_prover import LookupCircuit, MulCircuit
+proof = api.prove_shot(state, trapdoor, (0, 0), True)  # (0,0) is a carrier hit
+assert api.verify_shot(proof), "valid shot proof must verify"
+ok("prove_shot -> verify_shot round trip (k=11, real prover)")
 
-params = Params.new(6)
-circuit = LookupCircuit([3, 7, 7, 1, 15, 0])
-pk = keygen(params, circuit)
-ev = getattr(pk.vk, "_quotient_evaluator", None)
-t0 = time.time()
-proof = create_proof(params, pk, circuit, [[]], random.Random(7))
-ev = getattr(pk.vk, "_quotient_evaluator", None)
-assert ev is not None, "device quotient evaluator not used"
-print(f"lookup proof created via VM quotient (prog={ev.vm_size[0]} ops, "
-      f"{ev.vm_size[1]} regs) in {time.time()-t0:.1f}s", flush=True)
-assert verify_proof(params, pk.vk, proof, [[]]), "proof must verify"
-bad = bytearray(proof)
-bad[len(bad) // 2] ^= 1
-assert not verify_proof(params, pk.vk, bytes(bad), [[]]), "tampered proof must fail"
+tampered = api.ShotProof(
+    commitment=proof.commitment,
+    shot=proof.shot,
+    hit=proof.hit,
+    proof=bytes([proof.proof[0] ^ 1]) + proof.proof[1:],
+)
+assert not api.verify_shot(tampered), "tampered proof must fail"
+ok("probe: corrupted proof byte rejected")
 
-params5 = Params.new(5)
-pk5 = keygen(params5, MulCircuit(3, 5, 15))
-proof5 = create_proof(params5, pk5, MulCircuit(3, 5, 15), [[15]], random.Random(9))
-assert verify_proof(params5, pk5.vk, proof5, [[15]])
-assert not verify_proof(params5, pk5.vk, proof5, [[16]]), "wrong instance must fail"
-print("mul proof + instance tamper rejection ok", flush=True)
+wrong_hit = api.ShotProof(
+    commitment=proof.commitment, shot=proof.shot, hit=not proof.hit, proof=proof.proof
+)
+assert not api.verify_shot(wrong_hit), "flipped public hit must fail"
+ok("probe: tampered public input rejected")
 
-print("VERIFY DRIVE: ALL OK", flush=True)
+print(f"ALL VERIFY CHECKS PASSED  [{time.time() - t_start:.0f}s total]", flush=True)
