@@ -77,6 +77,26 @@ class ConstraintNotSatisfied(VerifyFailure):
 
 
 @dataclass(frozen=True)
+class CellNotAssigned(VerifyFailure):
+    """A gate's selector is enabled at a row, but an advice cell the gate
+    queries there was never assigned (halo2 ``VerifyFailure::CellNotAssigned``:
+    catches chips that enable a selector without filling every queried cell)."""
+
+    gate: GateRef
+    region: RegionRef | None
+    gate_offset: int  # absolute row the gate fires on
+    column: Column
+    rotation: int
+
+    def __str__(self):
+        where = f"in {self.region} " if self.region is not None else ""
+        return (
+            f"Cell ({self.column}@{self.rotation}) queried by gate {self.gate.index} "
+            f"('{self.gate.name}') {where}at gate offset {self.gate_offset} is not assigned"
+        )
+
+
+@dataclass(frozen=True)
 class Permutation(VerifyFailure):
     column: Column
     row: int

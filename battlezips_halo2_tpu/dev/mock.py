@@ -20,6 +20,7 @@ from ..plonk.assignment import Assignment, Layouter
 from ..plonk.circuit import ConstraintSystem
 from ..plonk.expression import Column, ColumnType
 from .failures import (
+    CellNotAssigned,
     ConstraintNotSatisfied,
     ConstraintRef,
     FailureLocation,
@@ -107,6 +108,7 @@ class MockProver:
     # --- verification -----------------------------------------------------
     def verify(self) -> list[VerifyFailure]:
         failures: list[VerifyFailure] = []
+        failures += self._verify_cells_assigned()
         failures += self._verify_gates()
         failures += self._verify_permutation()
         failures += self._verify_lookups()
@@ -132,6 +134,58 @@ class MockProver:
             mul=lambda a, b: (a * b) % p,
             neg=lambda a: (-a) % p,
         )
+
+    def _verify_cells_assigned(self) -> list[VerifyFailure]:
+        """halo2 ``VerifyFailure::CellNotAssigned``: every advice cell a gate
+        queries must have been assigned at each row where one of the gate's
+        selectors is enabled (catches chips that turn a selector on without
+        filling the row)."""
+        failures = []
+        # per-advice-column unassigned masks from the RAW assignment (the
+        # dense matrices default unassigned cells to 0, which gates may
+        # accept silently)
+        unassigned = [
+            np.array([v is None for v in col], dtype=bool) for col in self.assignment.advice
+        ]
+
+        def queried_selectors(expr):
+            return expr.evaluate(
+                constant=lambda v: frozenset(),
+                cell=lambda c, r: frozenset(),
+                selector=lambda s: frozenset({s.index}),
+                add=lambda a, b: a | b,
+                mul=lambda a, b: a | b,
+                neg=lambda a: a,
+            )
+
+        for gate in self.cs.gates:
+            sel_ids: frozenset = frozenset()
+            cells: set = set()
+            for _, poly in gate.constraints:
+                sel_ids |= queried_selectors(poly)
+                cells |= poly.queried_cells()
+            if not sel_ids:
+                continue  # always-on gates can't distinguish unassigned-0
+            fires = np.zeros(self.n, dtype=bool)
+            for s in sel_ids:
+                fires |= np.array([bool(v) for v in self.selectors[s]], dtype=bool)
+            gate_cols = {c for c, _ in cells}
+            for col, rot in sorted(cells, key=repr):
+                if col.kind != ColumnType.ADVICE:
+                    continue
+                bad = fires & np.roll(unassigned[col.index], -rot)
+                for row in np.nonzero(bad)[0]:
+                    loc = self._locate(int(row), gate_cols)
+                    failures.append(
+                        CellNotAssigned(
+                            gate=GateRef(gate.index, gate.name),
+                            region=loc.region,
+                            gate_offset=int(row),
+                            column=col,
+                            rotation=rot,
+                        )
+                    )
+        return failures
 
     def _verify_gates(self) -> list[VerifyFailure]:
         failures = []
