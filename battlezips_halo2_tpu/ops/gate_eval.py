@@ -168,7 +168,9 @@ def quotient_poly_keys(cs, num_perm_chunks: int):
     the prover stacks its coefficient polys in exactly this order."""
     keys = []
     keys += [("advice", i) for i in range(cs.num_advice)]
-    keys += [("fixed", i) for i in range(cs.num_fixed + len(cs.selectors))]
+    from ..plonk.keygen import num_fixed_total
+
+    keys += [("fixed", i) for i in range(num_fixed_total(cs))]
     keys += [("instance", i) for i in range(cs.num_instance)]
     keys += [("perm_z", i) for i in range(num_perm_chunks)]
     keys += [("sigma", i) for i in range(len(cs.equality_columns))]

@@ -22,17 +22,30 @@ from jax.experimental.shard_map import shard_map
 from ..curves.host import Curve
 from ..curves.limb import JacobianPoint, affine_to_jacobian_host, jacobian_to_affine_host, point_add
 from ..fields.limb import FieldSpec
-from ..ops.msm import WINDOW_BITS, _msm_device_wsums, host_window_fold, scalars_to_digits
+from ..ops.msm import (
+    _msm_device_wsums,
+    _signed_doubled,
+    auto_window,
+    host_window_fold,
+    scalars_to_digits,
+    scalars_to_signed_digits,
+)
 from .collectives import AXIS
 
 
 @functools.lru_cache(maxsize=None)
-def _compiled_sharded_msm(modulus: int, n_local: int, c: int, n_windows: int, mesh_key):
+def _compiled_sharded_msm(
+    modulus: int, n_local: int, c: int, n_windows: int, mesh_key, signed: bool = False
+):
     spec = FieldSpec.make(modulus)
     mesh = _MESHES[mesh_key]
 
     def local_fn(qx, qy, qinf, digits):
-        partial, _ = _msm_device_wsums(spec, qx, qy, qinf, digits, c, complete=True)
+        if signed:
+            # per-device [P | -P] doubling of the LOCAL point shard (the
+            # signed digit's sign selects the negated half in the gather)
+            qx, qy, qinf = _signed_doubled(spec, qx, qy, qinf)
+        partial, _ = _msm_device_wsums(spec, qx, qy, qinf, digits, c, complete=True, signed=signed)
         gathered = jax.lax.all_gather(partial, AXIS)  # JacobianPoint of (D, W, 16) leaves
         d = gathered.x.shape[0]
         # fold the per-device window-sum partials lane-parallel over W
@@ -54,14 +67,23 @@ def _compiled_sharded_msm(modulus: int, n_local: int, c: int, n_windows: int, me
 _MESHES: dict = {}
 
 
-def sharded_msm(curve: Curve, points, scalars, mesh, c: int = WINDOW_BITS):
-    """MSM sharded over a 1-D mesh; bit-exact vs the single-device kernel."""
+def sharded_msm(curve: Curve, points, scalars, mesh, c: int | None = None, signed: bool | None = None):
+    """MSM sharded over a 1-D mesh; bit-exact vs the single-device kernel.
+
+    Window size / signed-digit use auto-picked from the PER-DEVICE shard
+    size (the bucket aggregation runs per device) unless ``c`` is given;
+    ``signed`` overrides the digit encoding explicitly (tests)."""
     assert len(points) == len(scalars)
     d = mesh.devices.size
     # pad so the shard divides evenly (power-of-two total, like ops.msm)
     target = max(64 * d, 1 << (len(points) - 1).bit_length())
     if target % d:
         target *= 2
+    if c is None:
+        c, auto_signed = auto_window(target // d)
+        signed = auto_signed if signed is None else signed
+    else:
+        signed = bool(signed)
     if len(points) < target:
         pad = target - len(points)
         points = list(points) + [curve.generator] * pad
@@ -70,10 +92,13 @@ def sharded_msm(curve: Curve, points, scalars, mesh, c: int = WINDOW_BITS):
     spec = FieldSpec.make(curve.base.modulus)
     jac = affine_to_jacobian_host(spec, points)
     qinf = jnp.asarray(np.array([p is None for p in points], dtype=bool))
-    digits = jnp.asarray(scalars_to_digits([s % curve.scalar.modulus for s in scalars], c))
+    to_digits = scalars_to_signed_digits if signed else scalars_to_digits
+    digits = jnp.asarray(to_digits([s % curve.scalar.modulus for s in scalars], c))
 
     mesh_key = tuple(str(dev) for dev in mesh.devices.flat)
     _MESHES[mesh_key] = mesh
-    f = _compiled_sharded_msm(curve.base.modulus, len(points) // d, c, digits.shape[0], mesh_key)
+    f = _compiled_sharded_msm(
+        curve.base.modulus, len(points) // d, c, digits.shape[0], mesh_key, signed=signed
+    )
     wsums = f(jac.x, jac.y, qinf, digits)  # (W, 16) leaves
     return host_window_fold(curve, jacobian_to_affine_host(spec, wsums), c)

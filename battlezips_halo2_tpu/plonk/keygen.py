@@ -86,7 +86,9 @@ class ProvingKey:
 
 
 def num_fixed_total(cs: ConstraintSystem) -> int:
-    return cs.num_fixed + len(cs.selectors)
+    """Fixed columns incl. the appended selector columns (combined columns
+    after selector compression, raw 0/1 columns before)."""
+    return cs.num_fixed + getattr(cs, "num_selector_columns", len(cs.selectors))
 
 
 def fixed_column_index(cs: ConstraintSystem, column: Column) -> int:
@@ -168,18 +170,30 @@ def keygen(params: Params, circuit) -> ProvingKey:
     config = type(template).configure(cs)
     k = params.k
     n = params.n
-    domain = EvaluationDomain(k, cs.degree())
+    # quotient degree from the PRE-compression system; compression groups
+    # are capped so rewritten constraints never exceed it
+    pre_degree = cs.degree()
 
     assignment = Assignment(cs, n)
     layouter = Layouter(assignment)
     template.synthesize(config, layouter)
     layouter.finalize()
 
+    import os
+
     fixed_values = []
     for col in assignment.fixed:
         fixed_values.append([0 if v is None else v % FP.modulus for v in col])
-    for sel in assignment.selectors:
-        fixed_values.append([1 if b else 0 for b in sel])
+    if os.environ.get("BZ_NO_SELECTOR_COMPRESS", "") not in ("", "0"):
+        cs.num_selector_columns = len(cs.selectors)
+        cs.selector_assignments = {}
+        for sel in assignment.selectors:
+            fixed_values.append([1 if b else 0 for b in sel])
+    else:
+        from .compress import compress_selectors
+
+        fixed_values += compress_selectors(cs, assignment.selectors, n)
+    domain = EvaluationDomain(k, pre_degree)
 
     from ..poly.transforms import batch_lagrange_to_coeff
 

@@ -2,6 +2,7 @@
 on the virtual 8-device CPU mesh (the driver separately dryruns the combined
 step via __graft_entry__.dryrun_multichip)."""
 
+import os
 import random
 
 import numpy as np
@@ -40,4 +41,20 @@ def test_sharded_msm_bit_exact(mesh):
     scalars = [rng.randrange(VESTA.scalar.modulus) for _ in range(n)]
     scalars[0] = 0
     got = sharded_msm(VESTA, pts, scalars, mesh)
+    assert got == VESTA.pippenger(pts, scalars)
+
+
+@pytest.mark.skipif(
+    os.environ.get("BZ_RUN_SLOW", "") in ("", "0"),
+    reason="signed sharded-MSM graph takes >30 min to compile on the CPU "
+    "backend; set BZ_RUN_SLOW=1 (also validated on real TPU by the bench drive)",
+)
+def test_sharded_msm_signed_bit_exact(mesh):
+    """Signed digits over the mesh: per-device [P | -P] doubling of the
+    local shard + magnitude buckets, all_gathered partials."""
+    rng = random.Random(4)
+    n = 256
+    pts = [VESTA.mul(VESTA.generator, rng.randrange(1, 10**12)) for _ in range(n)]
+    scalars = [rng.randrange(VESTA.scalar.modulus) for _ in range(n)]
+    got = sharded_msm(VESTA, pts, scalars, mesh, c=10, signed=True)
     assert got == VESTA.pippenger(pts, scalars)
