@@ -90,6 +90,19 @@ class TestLayout:
         assert "Transpose ship commitments" in text
         assert "% full" in text
 
+    def test_board_layout_svg(self):
+        import xml.etree.ElementTree as ET
+
+        from battlezips_halo2_tpu.circuits import BoardCircuit
+        from battlezips_halo2_tpu.dev.layout import circuit_layout_svg
+        from battlezips_halo2_tpu.utils import BinaryValue
+
+        c = BoardCircuit([BinaryValue(1)] + [BinaryValue.empty()] * 9, BinaryValue(1), 1)
+        svg = circuit_layout_svg(c, 12)
+        root = ET.fromstring(svg)  # well-formed XML
+        assert root.tag.endswith("svg")
+        assert "Transpose ship commitments" in svg
+
 
 class TestNative:
     def test_native_field_ops_if_available(self):
