@@ -27,6 +27,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 REF_CPU_MSM_PPS = 1_000_000  # documented anchor: order-of-magnitude halo2 CPU MSM points/s
 REF_CPU_NTT_EPS = 10_000_000  # anchor: CPU NTT butterflies-elements/s
 REF_CPU_SHOT_PROOF_S = 1.0  # anchor: rust shot prover ~1s order of magnitude
+REF_CPU_BOARD_PROOF_S = 2.0  # anchor: rust board prover (k=12, ~2x shot rows)
+REF_CPU_SESSION_PPS = 0.9  # anchor: session proofs/s implied by the proof anchors
 
 
 def bench_msm(log_size: int, iters: int):
@@ -197,19 +199,83 @@ def bench_shot_proof(iters: int):
     }
 
 
+def bench_board_proof(iters: int):
+    """Board proof wall-clock (k=12) — the reference's board_prover bench
+    (benches/board.rs:57-71), full create_proof + one verification gate."""
+    from battlezips_halo2_tpu.circuits import BoardCircuit
+    from battlezips_halo2_tpu.pcs.ipa import cached_params
+    from battlezips_halo2_tpu.plonk import create_proof, keygen, verify_proof
+    from battlezips_halo2_tpu.utils import Board, Deck
+    from battlezips_halo2_tpu.utils.pedersen import pedersen_commit
+
+    board = Board.from_deck(
+        Deck.from_placements([(3, 3, True), (5, 4, False), (0, 1, False), (0, 5, True), (6, 1, False)])
+    )
+    state = board.state()
+    commitment = pedersen_commit(state.to_fp(), 0xBEEF)
+    instance = [commitment[0], commitment[1]]
+    circuit = BoardCircuit(board.witness(), state, 0xBEEF)
+    params = cached_params(12)
+    pk = keygen(params, circuit)
+    rng = random.Random(1)
+    t0 = time.time()
+    for _ in range(iters):
+        proof = create_proof(params, pk, circuit, [instance], rng)
+    elapsed = (time.time() - t0) / iters
+    assert verify_proof(params, pk.vk, proof, [instance])
+    return {
+        "metric": "board_proof_seconds",
+        "value": round(elapsed, 2),
+        "unit": "s/proof",
+        "vs_baseline": round(REF_CPU_BOARD_PROOF_S / elapsed, 4),
+        "detail": {"k": 12, "backend": jax.default_backend()},
+    }
+
+
+def bench_session(games: int, shots_per_game: int):
+    """Batched game session (BASELINE.md config 5, single-host scale):
+    `games` board proofs + games*shots_per_game shot proofs, end-to-end
+    proofs/sec including verification of every proof."""
+    from battlezips_halo2_tpu import api
+
+    placements = [(3, 3, True), (5, 4, False), (0, 1, False), (0, 5, True), (6, 1, False)]
+    t0 = time.time()
+    session = api.prove_session([placements] * games, shots_per_game=shots_per_game)
+    assert api.verify_session(session)
+    elapsed = time.time() - t0
+    n_proofs = len(session.board_proofs) + len(session.shot_proofs)
+    return {
+        "metric": f"session_proofs_per_sec_{games}g{shots_per_game}s",
+        "value": round(n_proofs / elapsed, 4),
+        "unit": "proofs/s (incl verify)",
+        "vs_baseline": round((n_proofs / elapsed) / REF_CPU_SESSION_PPS, 4),
+        "detail": {"proofs": n_proofs, "seconds": round(elapsed, 1), "backend": jax.default_backend()},
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     # default: the NTT throughput metric — stable and cache-warm; the MSM
-    # north-star sweep and the proof metric are explicit opt-ins (their
+    # north-star sweep and the proof metrics are explicit opt-ins (their
     # first-run compiles are long; see BENCH_NOTES.md)
-    ap.add_argument("--metric", default="ntt", choices=["msm", "ntt", "shot-proof"])
+    ap.add_argument(
+        "--metric",
+        default="ntt",
+        choices=["msm", "ntt", "shot-proof", "board-proof", "session"],
+    )
     ap.add_argument("--log-size", type=int, default=16)
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--games", type=int, default=2, help="session metric: game count")
+    ap.add_argument("--shots", type=int, default=8, help="session metric: shots per game")
     args = ap.parse_args()
     if args.metric == "msm":
         result = bench_msm(args.log_size, args.iters)
     elif args.metric == "ntt":
         result = bench_ntt(args.log_size, args.iters)
+    elif args.metric == "board-proof":
+        result = bench_board_proof(max(1, args.iters))
+    elif args.metric == "session":
+        result = bench_session(args.games, args.shots)
     else:
         result = bench_shot_proof(max(1, args.iters))
     print(json.dumps(result))
