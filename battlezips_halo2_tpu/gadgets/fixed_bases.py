@@ -37,6 +37,29 @@ def window_points(curve: Curve, base: Point, w: int) -> list[Point]:
     return [curve.mul(base, (j * 8 ** (NUM_WINDOWS - 1) - OFFSET) % n) for j in range(H)]
 
 
+def _all_window_points(curve: Curve, base: Point) -> list[list[Point]]:
+    """All NUM_WINDOWS x H window points with incremental group ops:
+    S_w = [8^w]B via 3 doublings per window, row w = [(j+2)]S_w via one
+    double + H-1 additions — ~11 affine ops/window instead of 8 full
+    double-and-add scalar muls (each costing ~255 modular inversions);
+    ~185x fewer inversions than the naive per-point build."""
+    rows = []
+    s = base  # [8^w] B
+    for w in range(NUM_WINDOWS - 1):
+        row = [curve.add(s, s)]  # [2] S_w
+        for _ in range(H - 1):
+            row.append(curve.add(row[-1], s))
+        rows.append(row)
+        d = curve.add(s, s)
+        s = curve.add(curve.add(d, d), curve.add(d, d))  # [8] S_w
+    n = curve.scalar.modulus
+    last = [curve.mul(base, (-OFFSET) % n)]  # j = 0 term
+    for _ in range(H - 1):
+        last.append(curve.add(last[-1], s))  # + [8^84] B per j step
+    rows.append(last)
+    return rows
+
+
 def find_z(ys: list[int], field=FP) -> int:
     """Smallest z making every y+z a QR and every -y+z a non-QR."""
     z = 0
@@ -69,8 +92,9 @@ class FixedBase:
         """Build tables for a generator. If ``zs`` is given (e.g. from the
         reference tables), skip the z-search; otherwise derive from scratch."""
         windows = []
+        all_pts = _all_window_points(curve, generator)
         for w in range(NUM_WINDOWS):
-            pts = window_points(curve, generator, w)
+            pts = all_pts[w]
             ys = [p[1] for p in pts]
             z = zs[w] if zs is not None else find_z(ys)
             us = tuple(curve.base.sqrt((y + z) % curve.base.modulus) for y in ys)
