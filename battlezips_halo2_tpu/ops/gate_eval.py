@@ -425,5 +425,9 @@ class QuotientEvaluator:
             flat.extend(list(poly) + [0] * (ext - len(poly)))
         batch = ints_to_limbs(flat).reshape(len(self.keys), ext, L.NLIMBS)
         ch = ints_to_limbs([c % P for c in challenges])
-        out = np.asarray(self._fn(jnp.asarray(batch), jnp.asarray(ch)))
+        from .dispatch import device_call
+
+        out = np.asarray(
+            device_call(self._fn, jnp.asarray(batch), jnp.asarray(ch), what="quotient evaluation")
+        )
         return limbs_to_ints(out)

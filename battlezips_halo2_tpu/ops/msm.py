@@ -103,6 +103,8 @@ def scalars_to_signed_digits(scalars, c: int) -> np.ndarray:
 
 import os
 
+from .dispatch import device_call
+
 _PALLAS_MSM = os.environ.get("BZ_PALLAS_MSM", "") not in ("", "0")
 
 
@@ -547,14 +549,14 @@ def msm_many(
         w = digit_stack.shape[1]
         dstack = jnp.asarray(digit_stack)
         f = _compiled_msm_batch(curve.base.modulus, target, c, w, b_target, signed=signed)
-        out, collisions = f(jac.x, jac.y, qinf, dstack)
+        out, collisions = device_call(f, jac.x, jac.y, qinf, dstack, what="batched MSM")
         if bool(np.any(np.asarray(collisions))):
             # incomplete-add P == Q hit (duplicate points in a bucket or a
             # DL-relation collision): redo this chunk with the complete law
             f = _compiled_msm_batch(
                 curve.base.modulus, target, c, w, b_target, complete=True, signed=signed
             )
-            out, _ = f(jac.x, jac.y, qinf, dstack)
+            out, _ = device_call(f, jac.x, jac.y, qinf, dstack, what="batched MSM (complete)")
         flat = JacobianPoint(
             out.x.reshape(-1, 16), out.y.reshape(-1, 16), out.z.reshape(-1, 16)
         )
@@ -602,10 +604,10 @@ def msm(curve: Curve, points, scalars, c: int | None = None, force_device: bool 
     to_digits = scalars_to_signed_digits if signed else scalars_to_digits
     digits = jnp.asarray(to_digits([s % curve.scalar.modulus for s in scalars], c))
     f = _compiled_msm(curve.base.modulus, len(points), c, digits.shape[0], signed=signed)
-    wsums, collision = f(jac.x, jac.y, qinf, digits)  # (W, 16) leaves
+    wsums, collision = device_call(f, jac.x, jac.y, qinf, digits, what="MSM")  # (W, 16) leaves
     if bool(np.asarray(collision)):
         f = _compiled_msm(
             curve.base.modulus, len(points), c, digits.shape[0], complete=True, signed=signed
         )
-        wsums, _ = f(jac.x, jac.y, qinf, digits)
+        wsums, _ = device_call(f, jac.x, jac.y, qinf, digits, what="MSM (complete)")
     return host_window_fold(curve, jacobian_to_affine_host(spec, wsums), c)

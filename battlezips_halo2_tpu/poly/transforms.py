@@ -19,6 +19,7 @@ from ..fields.host import FP
 from ..fields.limb import FP_SPEC, ints_to_limbs, limbs_to_ints
 from ..ops import ntt as D
 from .domain import EvaluationDomain
+from ..ops.dispatch import device_call
 
 
 def _to_limb_batch(columns: list[list[int]]) -> np.ndarray:
@@ -100,14 +101,14 @@ def batch_lagrange_to_coeff(domain: EvaluationDomain, columns: list[list[int]]) 
     if not columns:
         return []
     f = _jit_lagrange_to_coeff(FP.modulus, domain.n, domain.omega)
-    return _from_limb_batch(f(_to_limb_batch(columns)))
+    return _from_limb_batch(device_call(f, _to_limb_batch(columns), what="batch iNTT"))
 
 
 def batch_coeff_to_lagrange(domain: EvaluationDomain, polys: list[list[int]]) -> list[list[int]]:
     if not polys:
         return []
     f = _jit_coeff_to_lagrange(FP.modulus, domain.n, domain.omega)
-    return _from_limb_batch(f(_to_limb_batch(polys)))
+    return _from_limb_batch(device_call(f, _to_limb_batch(polys), what="batch NTT"))
 
 
 def batch_coeff_to_extended(domain: EvaluationDomain, polys: list[list[int]]) -> list[list[int]]:
@@ -116,11 +117,11 @@ def batch_coeff_to_extended(domain: EvaluationDomain, polys: list[list[int]]) ->
     ext = domain.extended_n
     padded = [list(p) + [0] * (ext - len(p)) for p in polys]
     f = _jit_coeff_to_extended(FP.modulus, ext, domain.extended_omega, domain.g_coset)
-    return _from_limb_batch(f(_to_limb_batch(padded)))
+    return _from_limb_batch(device_call(f, _to_limb_batch(padded), what="batch extended NTT"))
 
 
 def batch_extended_to_coeff(domain: EvaluationDomain, evals: list[list[int]]) -> list[list[int]]:
     if not evals:
         return []
     f = _jit_extended_to_coeff(FP.modulus, domain.extended_n, domain.extended_omega, domain.g_coset_inv)
-    return _from_limb_batch(f(_to_limb_batch(evals)))
+    return _from_limb_batch(device_call(f, _to_limb_batch(evals), what="batch extended iNTT"))
