@@ -22,6 +22,8 @@ from __future__ import annotations
 
 import hashlib
 import json
+
+import numpy as np
 from dataclasses import dataclass
 from functools import lru_cache
 from pathlib import Path
@@ -168,11 +170,12 @@ def create_open_proof(
 
     m = FP.modulus
     n = params.n
-    a = [c % m for c in coeffs] + [0] * (n - len(coeffs))
-    b = []
+    a = np.zeros(n, dtype=object)
+    a[: len(coeffs)] = [c % m for c in coeffs]
+    b = np.empty(n, dtype=object)
     acc = 1
-    for _ in range(n):
-        b.append(acc)
+    for i in range(n):
+        b[i] = acc
         acc = acc * x % m
 
     xi = transcript.squeeze_challenge_nonzero()
@@ -182,8 +185,9 @@ def create_open_proof(
     # +-power-product combination of original G points, so every round's
     # L/R inner products are MSMs over the ORIGINAL G with composite
     # scalar vectors (c = accumulated u-powers, p = current fold position).
-    c_coeff = [1] * n
-    pos = list(range(n))
+    # Row math is vectorized over numpy object arrays of exact ints.
+    c_coeff = np.ones(n, dtype=object)
+    pos = np.arange(n)
 
     r = blind % m
     length = n
@@ -194,18 +198,13 @@ def create_open_proof(
 
         l_blind = FP.random(rng)
         r_blind = FP.random(rng)
-        value_l = _inner(a_lo, b_hi)
-        value_r = _inner(a_hi, b_lo)
+        value_l = int(np.sum(a_lo * b_hi)) % m
+        value_r = int(np.sum(a_hi * b_lo)) % m
 
-        v_l = [0] * n
-        v_r = [0] * n
-        for t in range(n):
-            pt = pos[t]
-            if pt >= half:
-                v_l[t] = c_coeff[t] * a[pt - half] % m  # <a_lo, G_hi>
-            else:
-                v_r[t] = c_coeff[t] * a[half + pt] % m  # <a_hi, G_lo>
-        base_l, base_r = msm_many(VESTA, params.g, [v_l, v_r])
+        hi_mask = pos >= half
+        v_l = np.where(hi_mask, c_coeff * a[np.where(hi_mask, pos - half, 0)] % m, 0)
+        v_r = np.where(~hi_mask, c_coeff * a[np.where(~hi_mask, pos + half, 0)] % m, 0)
+        base_l, base_r = msm_many(VESTA, params.g, [[int(v) for v in v_l], [int(v) for v in v_r]])
         L = VESTA.add(base_l, VESTA.add(VESTA.mul(u_point, value_l), VESTA.mul(params.w, l_blind)))
         R = VESTA.add(base_r, VESTA.add(VESTA.mul(u_point, value_r), VESTA.mul(params.w, r_blind)))
         transcript.write_point(L)
@@ -213,18 +212,14 @@ def create_open_proof(
         u = transcript.squeeze_challenge_nonzero()
         u_inv = FP.inv(u)
 
-        a = [(u * lo + u_inv * hi) % m for lo, hi in zip(a_lo, a_hi)]
-        b = [(u_inv * lo + u * hi) % m for lo, hi in zip(b_lo, b_hi)]
-        for t in range(n):
-            if pos[t] >= half:
-                c_coeff[t] = c_coeff[t] * u % m
-                pos[t] -= half
-            else:
-                c_coeff[t] = c_coeff[t] * u_inv % m
+        a = (u * a_lo + u_inv * a_hi) % m
+        b = (u_inv * b_lo + u * b_hi) % m
+        c_coeff = np.where(hi_mask, c_coeff * u % m, c_coeff * u_inv % m)
+        pos = np.where(hi_mask, pos - half, pos)
         r = (r + u * u % m * l_blind + u_inv * u_inv % m * r_blind) % m
         length = half
 
-    transcript.write_scalar(a[0])
+    transcript.write_scalar(int(a[0]))
     transcript.write_scalar(r)
 
 

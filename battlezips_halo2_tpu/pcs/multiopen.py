@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import numpy as np
+
 from ..curves.host import VESTA, Point
 from ..fields.host import FP
 from ..poly.domain import eval_poly_coeffs
@@ -95,7 +97,8 @@ def multiopen_prove(params: Params, transcript: TranscriptWrite, queries: list[Q
 
     q_polys, q_blinds, q_evals = [], [], []
     for pts in set_order:
-        poly_acc: list[int] = []
+        size = max(len(by_poly[k]["queries"][0].poly) for k in sets[pts])
+        poly_acc = np.zeros(size, dtype=object)
         blind_acc = 0
         evals = {p: 0 for p in pts}
         power = 1
@@ -103,33 +106,33 @@ def multiopen_prove(params: Params, transcript: TranscriptWrite, queries: list[Q
             info = by_poly[k]
             poly = info["queries"][0].poly
             blind = info["queries"][0].blind
-            if len(poly) > len(poly_acc):
-                poly_acc = poly_acc + [0] * (len(poly) - len(poly_acc))
-            for i, c in enumerate(poly):
-                poly_acc[i] = (poly_acc[i] + power * c) % P
+            arr = np.empty(len(poly), dtype=object)
+            arr[:] = poly
+            poly_acc[: len(poly)] = (poly_acc[: len(poly)] + power * arr) % P
             blind_acc = (blind_acc + power * blind) % P
             ev_by_point = {q.point: q.eval for q in info["queries"]}
             for p in pts:
                 evals[p] = (evals[p] + power * ev_by_point[p]) % P
             power = power * x1 % P
-        q_polys.append(poly_acc)
+        q_polys.append([int(v) for v in poly_acc])
         q_blinds.append(blind_acc)
         q_evals.append(evals)
 
     x2 = transcript.squeeze_challenge()
 
-    f_poly: list[int] = []
+    f_size = max(len(qp) for qp in q_polys)
+    f_acc = np.zeros(f_size, dtype=object)
     power = 1
     for pts, qp, qe in zip(set_order, q_polys, q_evals):
         r = lagrange_interpolate(list(pts), [qe[p] for p in pts])
         quotient = _poly_sub(qp, r)
         for p in pts:
             quotient = _poly_divide_linear(quotient, p)
-        if len(quotient) > len(f_poly):
-            f_poly = f_poly + [0] * (len(quotient) - len(f_poly))
-        for i, c in enumerate(quotient):
-            f_poly[i] = (f_poly[i] + power * c) % P
+        arr = np.empty(len(quotient), dtype=object)
+        arr[:] = quotient
+        f_acc[: len(quotient)] = (f_acc[: len(quotient)] + power * arr) % P
         power = power * x2 % P
+    f_poly = [int(v) for v in f_acc]
 
     f_blind = FP.random(rng)
     transcript.write_point(commit(params, f_poly, f_blind))
@@ -140,14 +143,18 @@ def multiopen_prove(params: Params, transcript: TranscriptWrite, queries: list[Q
         transcript.write_scalar(v)
     x4 = transcript.squeeze_challenge()
 
-    final_poly = list(f_poly) + [0] * (params.n - len(f_poly)) if len(f_poly) < params.n else list(f_poly)
+    width = max(params.n, len(f_poly))
+    final_acc = np.zeros(width, dtype=object)
+    final_acc[: len(f_poly)] = f_poly
     final_blind = f_blind
     mult = 1
     for qp, qb in zip(q_polys, q_blinds):
         mult = mult * x4 % P
-        for i, c in enumerate(qp):
-            final_poly[i] = (final_poly[i] + mult * c) % P
+        arr = np.empty(len(qp), dtype=object)
+        arr[:] = qp
+        final_acc[: len(qp)] = (final_acc[: len(qp)] + mult * arr) % P
         final_blind = (final_blind + mult * qb) % P
+    final_poly = [int(v) for v in final_acc]
 
     create_open_proof(params, transcript, final_poly, final_blind, x3, rng)
 

@@ -27,10 +27,10 @@ class Circuit:
         raise NotImplementedError
 
 
-def keygen(params, circuit):
-    from .keygen import keygen as _keygen
+def _keygen(params, circuit):
+    import sys
 
-    return _keygen(params, circuit)
+    return sys.modules[__name__ + ".keygen"].keygen(params, circuit)
 
 
 def create_proof(params, pk, circuit, instances, rng):
@@ -43,6 +43,16 @@ def verify_proof(params, vk, proof, instances):
     from .verifier import verify_proof as _verify
 
     return _verify(params, vk, proof, instances)
+
+
+# Loading the `.keygen` SUBMODULE sets the package attribute ``keygen`` to
+# the module object, which would silently shadow a same-named function for
+# any later `from battlezips_halo2_tpu.plonk import keygen` (the binding
+# depended on whether a proof had run first). Import the submodule eagerly,
+# then pin the function binding — order-independent from here on.
+from . import keygen as _keygen_module  # noqa: E402
+
+keygen = _keygen
 
 
 __all__ = [

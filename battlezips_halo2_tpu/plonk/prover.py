@@ -263,16 +263,18 @@ def create_proof(
     # --- lookup grand products --------------------------------------------
     lookup_z_polys = []
     for lk in lookups:
-        nums, dens = [1] * usable, [1] * usable
-        for i in range(usable):
-            nums[i] = (lk["a_compressed"][i] + beta) % P * ((lk["s_compressed"][i] + gamma) % P) % P
-            dens[i] = (lk["a_perm"][i] + beta) % P * ((lk["s_perm"][i] + gamma) % P) % P
-        den_inv = FP.batch_inv(dens)
+        a_c = _obj_array(lk["a_compressed"][:usable])
+        s_c = _obj_array(lk["s_compressed"][:usable])
+        a_p = _obj_array(lk["a_perm"][:usable])
+        s_p = _obj_array(lk["s_perm"][:usable])
+        nums = (a_c + beta) * (s_c + gamma) % P
+        dens = (a_p + beta) * (s_p + gamma) % P
+        den_inv = FP.batch_inv(list(dens))
         z = [0] * n
         z[0] = 1
         acc = 1
         for i in range(usable):
-            acc = acc * nums[i] % P * den_inv[i] % P
+            acc = acc * int(nums[i]) % P * den_inv[i] % P
             z[i + 1] = acc
         for row in range(usable + 1, n):
             z[row] = FP.random(rng)

@@ -104,6 +104,17 @@ class TestLayout:
         assert "Transpose ship commitments" in svg
 
 
+class TestImports:
+    def test_keygen_binding_is_function_not_module(self):
+        """Importing the plonk.keygen SUBMODULE must not shadow the
+        plonk.keygen function binding (regression: the binding used to
+        depend on whether a proof had run first)."""
+        import battlezips_halo2_tpu.plonk.keygen  # noqa: F401 — submodule load
+        from battlezips_halo2_tpu.plonk import keygen
+
+        assert callable(keygen) and not hasattr(keygen, "__path__")
+
+
 class TestNative:
     def test_native_field_ops_if_available(self):
         from battlezips_halo2_tpu import native
