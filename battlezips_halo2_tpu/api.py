@@ -41,9 +41,9 @@ def _cached_pk(name: str, params, make_circuit):
     call; SURVEY.md §5.4)."""
     from .plonk.keygen import ProvingKey
 
-    # schema v2: selector compression (combined selector columns) changed
-    # the pk layout — versioned filename invalidates stale artifacts
-    path = _artifact_dir() / f"pk_h2c_{name}_{params.k}_v2.pkl"
+    # schema v3: selector compression with degree-true lookup budgets
+    # changed the pk layout — versioned filename invalidates stale artifacts
+    path = _artifact_dir() / f"pk_h2c_{name}_{params.k}_v3.pkl"
     if path.exists():
         try:
             return ProvingKey.load(path)

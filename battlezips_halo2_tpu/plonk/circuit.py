@@ -115,14 +115,21 @@ class ConstraintSystem:
         return deg
 
     def degree(self) -> int:
-        """Overall circuit degree: gates, plus lookup (input*table product
-        argument needs degree >= 3) and permutation (>= 3)."""
+        """Overall circuit degree: gates, plus lookup and permutation terms.
+
+        The lookup product term is
+        ``l_active * (z_next (a'+b)(s'+g) - z (a_comp+b)(s_comp+g))`` — its
+        true polynomial-factor count is 2 + in_deg + t_deg (l_active, z,
+        compressed input, compressed table), and the permuted branch is
+        degree 4. The quotient h = identity/Z_H only fits the extended
+        domain when every term's degree is <= the value returned here
+        (ext_factor = next pow2 >= degree-1 gives h capacity
+        (degree-1)*n - 1 >= degree*(n-1) - n)."""
         deg = max(3, self.max_gate_degree())
         for lk in self.lookups:
-            # theta-compressed lookup argument degree: 2 + max input degree
             in_deg = max((i.degree() for i, _ in lk.mapping), default=1)
             t_deg = max((t.degree() for _, t in lk.mapping), default=1)
-            deg = max(deg, 2 + in_deg, 2 + t_deg)
+            deg = max(deg, 4, 2 + in_deg + t_deg)
         return deg
 
     def blinding_factors(self) -> int:

@@ -68,9 +68,14 @@ def _selector_max_degrees(cs: ConstraintSystem) -> dict[int, int]:
             scan(poly, poly.degree())
     for lk in cs.lookups:
         for i_expr, t_expr in lk.mapping:
-            # lookup argument wraps expressions with degree +2
-            scan(i_expr, i_expr.degree() + 2)
-            scan(t_expr, t_expr.degree() + 2)
+            # the lookup product term carries l_active, z, the compressed
+            # input AND the compressed table as polynomial factors: a
+            # selector inside either expression must budget for
+            # 2 + in_deg + t_deg (see ConstraintSystem.degree) — growing a
+            # group grows the whole term's degree
+            pair = 2 + i_expr.degree() + t_expr.degree()
+            scan(i_expr, pair)
+            scan(t_expr, pair)
     return out
 
 
@@ -186,6 +191,13 @@ def compress_selectors(cs: ConstraintSystem, selector_values: list, n: int):
     ]
     cs.num_selector_columns = len(groups)
     cs.selector_assignments = assignments
+    # the quotient domain is sized from the PRE-compression degree: the
+    # rewritten system must never exceed it (h would alias in the extended
+    # iNTT and proofs would fail to verify — caught hard here instead)
+    assert cs.degree() <= max_degree, (
+        f"selector compression raised circuit degree {cs.degree()} past the "
+        f"pre-compression bound {max_degree} (grouping budget bug)"
+    )
     # singleton groups: slot value 1 where enabled == the raw 0/1 selector,
     # so CellQuery-on-column substitution above is exact for them too
     return combined_columns(groups, selector_values, n)

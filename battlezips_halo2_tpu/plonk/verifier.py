@@ -8,6 +8,8 @@ point, and the multiopen + IPA verification (MSM-dominated).
 
 from __future__ import annotations
 
+import os
+
 from ..curves.host import VESTA
 from ..fields.host import FP
 from ..pcs.ipa import Params, commit
@@ -152,6 +154,8 @@ def verify_proof(params: Params, vk: VerifyingKey, proof: bytes, instances: list
         h_at_x = (h_at_x + xni * ev) % P
         xni = xni * xn % P
     if agg != h_at_x * (xn - 1) % P:
+        if os.environ.get("BZ_VERIFY_TRACE"):
+            print("[verify] FAIL: gate/permutation/lookup identity at x", flush=True)
         return False
 
     # --- multiopen ----------------------------------------------------------
@@ -190,6 +194,8 @@ def verify_proof(params: Params, vk: VerifyingKey, proof: bytes, instances: list
         queries.append(VerifierQuery(("lk_s", li), sc, x, ev["s_perm"]))
 
     if not multiopen_verify(params, transcript, queries):
+        if os.environ.get("BZ_VERIFY_TRACE"):
+            print("[verify] FAIL: multiopen/IPA opening", flush=True)
         return False
     transcript.assert_consumed()
     return True
