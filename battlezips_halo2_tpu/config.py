@@ -1,0 +1,100 @@
+"""Framework configuration (SURVEY.md §5.6).
+
+The reference's configuration surface is compile-time only (const generics
++ module constants + a swap-in Cargo manifest); the TPU framework's runtime
+knobs live in ONE dataclass, populated from environment variables with the
+same ``BZ_*`` names the subsystems read. ``config()`` is the canonical read
+point; the circuit-shape constants mirror ``utils/constants.py`` (which
+mirrors the reference's src/utils/constants.rs).
+
+Environment flags:
+
+| Flag | Field | Effect |
+|---|---|---|
+| BZ_TPU_TRACE | trace_prover | per-phase prover span logs |
+| BZ_VERIFY_TRACE | trace_verifier | verifier failure-point logs |
+| BZ_HOST_QUOTIENT | host_quotient | exact host quotient (cross-check) |
+| BZ_NO_SELECTOR_COMPRESS | selector_compression (inverted) | keygen opt-out |
+| BZ_PALLAS_MSM / BZ_PALLAS_NTT | pallas_msm / pallas_ntt | fused-kernel opt-ins |
+| BZ_MSM_LANES | msm_lanes | serial-scan lane cap |
+| BZ_DISPATCH_RETRIES / BZ_DISPATCH_BACKOFF_S | dispatch_retries / dispatch_backoff_s | transient-failure retry policy |
+| BZ_RUN_SLOW | run_slow_tests | production-proof test tier |
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+
+def _flag(name: str) -> bool:
+    return os.environ.get(name, "") not in ("", "0")
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh shape for the parallel layer (SURVEY §2.3): axis sizes
+    for data-parallel (proof batch) and tensor/sequence-parallel (MSM
+    points / NTT coefficients) sharding. ``None`` = all visible devices on
+    one 1-D axis."""
+
+    dp: int | None = None
+    tp: int | None = None
+    axis_names: tuple = ("dp", "tp")
+
+
+@dataclass(frozen=True)
+class FrameworkConfig:
+    # circuit shapes (reference parity: src/utils/constants.rs, circuits)
+    board_k: int = 12
+    shot_k: int = 11
+    board_size: int = 100
+    lookup_bits: int = 10
+    fixed_base_windows: int = 85
+    fixed_base_window_size: int = 3
+
+    # prover pipeline
+    selector_compression: bool = True
+    host_quotient: bool = False
+    trace_prover: bool = False
+    trace_verifier: bool = False
+
+    # device kernels
+    pallas_msm: bool = False
+    pallas_ntt: bool = False
+    msm_lanes: int = 32768
+
+    # dispatch robustness
+    dispatch_retries: int = 3
+    dispatch_backoff_s: float = 2.0
+
+    # mesh
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    # test tiers
+    run_slow_tests: bool = False
+
+    @staticmethod
+    def from_env() -> "FrameworkConfig":
+        return FrameworkConfig(
+            selector_compression=not _flag("BZ_NO_SELECTOR_COMPRESS"),
+            host_quotient=_flag("BZ_HOST_QUOTIENT"),
+            trace_prover=_flag("BZ_TPU_TRACE"),
+            trace_verifier=_flag("BZ_VERIFY_TRACE"),
+            pallas_msm=_flag("BZ_PALLAS_MSM"),
+            pallas_ntt=_flag("BZ_PALLAS_NTT"),
+            msm_lanes=int(os.environ.get("BZ_MSM_LANES", "32768")),
+            dispatch_retries=int(os.environ.get("BZ_DISPATCH_RETRIES", "3")),
+            dispatch_backoff_s=float(os.environ.get("BZ_DISPATCH_BACKOFF_S", "2.0")),
+            mesh=MeshConfig(
+                dp=int(os.environ["BZ_MESH_DP"]) if "BZ_MESH_DP" in os.environ else None,
+                tp=int(os.environ["BZ_MESH_TP"]) if "BZ_MESH_TP" in os.environ else None,
+            ),
+            run_slow_tests=_flag("BZ_RUN_SLOW"),
+        )
+
+
+def config() -> FrameworkConfig:
+    """Current configuration (re-read from the environment each call — the
+    subsystems cache what they must; tests monkeypatch env vars)."""
+    return FrameworkConfig.from_env()

@@ -1,0 +1,41 @@
+"""FrameworkConfig (config.py, SURVEY §5.6): env-var population and
+agreement with the constants the subsystems actually read."""
+
+from battlezips_halo2_tpu.config import FrameworkConfig, config
+
+
+def test_defaults_match_circuit_constants():
+    from battlezips_halo2_tpu.circuits import BoardCircuit, ShotCircuit
+    from battlezips_halo2_tpu.utils.constants import (
+        FIXED_BASE_WINDOW_SIZE,
+        LOOKUP_SIZE,
+        NUM_WINDOWS,
+    )
+
+    c = FrameworkConfig()
+    assert c.board_k == BoardCircuit.K and c.shot_k == ShotCircuit.K
+    assert c.lookup_bits == LOOKUP_SIZE
+    assert c.fixed_base_windows == NUM_WINDOWS
+    assert c.fixed_base_window_size == FIXED_BASE_WINDOW_SIZE
+
+
+def test_env_population(monkeypatch):
+    monkeypatch.setenv("BZ_NO_SELECTOR_COMPRESS", "1")
+    monkeypatch.setenv("BZ_MSM_LANES", "8192")
+    monkeypatch.setenv("BZ_MESH_DP", "2")
+    monkeypatch.setenv("BZ_MESH_TP", "4")
+    monkeypatch.setenv("BZ_DISPATCH_RETRIES", "5")
+    c = config()
+    assert not c.selector_compression
+    assert c.msm_lanes == 8192
+    assert c.mesh.dp == 2 and c.mesh.tp == 4
+    assert c.dispatch_retries == 5
+
+
+def test_env_flags_match_subsystem_reads(monkeypatch):
+    """The dataclass must mirror what the subsystems actually read."""
+    monkeypatch.setenv("BZ_MSM_LANES", "4096")
+    from battlezips_halo2_tpu.ops.msm import _lane_block
+
+    assert _lane_block(1 << 20, 1 << 17) <= 4096
+    assert config().msm_lanes == 4096

@@ -182,3 +182,25 @@ class TestProduction:
         pk = keygen(params, circuit)
         proof = create_proof(params, pk, circuit, [[commitment[0], commitment[1]]], random.Random(1))
         assert verify_proof(params, pk.vk, proof, [[commitment[0], commitment[1]]])
+
+
+@pytest.mark.skipif(not SLOW, reason="set BZ_RUN_SLOW=1 for the session API round trip")
+class TestSessionAPI:
+    def test_session_round_trip(self):
+        """Batched game-session API (BASELINE config 5, minimal scale):
+        1 board proof + 2 shot proofs through api.prove_session, all
+        verifying; a tampered shot proof rejects."""
+        from battlezips_halo2_tpu import api
+
+        placements = [(3, 3, True), (5, 4, False), (0, 1, False), (0, 5, True), (6, 1, False)]
+        session = api.prove_session([placements], shots_per_game=2)
+        assert len(session.board_proofs) == 1 and len(session.shot_proofs) == 2
+        assert api.verify_session(session)
+        sp = session.shot_proofs[0]
+        session.shot_proofs[0] = api.ShotProof(
+            commitment=sp.commitment,
+            shot=sp.shot,
+            hit=1 - sp.hit,
+            proof=sp.proof,
+        )
+        assert not api.verify_session(session)
