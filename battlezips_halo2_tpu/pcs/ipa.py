@@ -252,18 +252,24 @@ def verify_open_proof(
         b_final = b_final * term % FP.modulus
         half //= 2
 
-    # s vector: s_i = prod_j u_j^(+1 if bit else -1)
-    s = [1] * n
+    # s vector: s_i = prod_j u_j^(+1 if bit else -1) — one vectorized
+    # object-array select+multiply per round instead of n*k Python ops
+    s = np.ones(n, dtype=object)
+    idx = np.arange(n)
     half = n // 2
     for u in us:
         u_inv = FP.inv(u)
-        for i in range(n):
-            s[i] = s[i] * (u if (i & half) else u_inv) % FP.modulus
+        choice = np.where(
+            (idx & half).astype(bool),
+            np.full(n, u, dtype=object),
+            np.full(n, u_inv, dtype=object),
+        )
+        s = s * choice % FP.modulus
         half //= 2
 
     # expected: [a0] G_fin + [a0*b_fin] U' + [r_fin] W
     #        == P + [v] U' + sum ([u^2] L + [u^-2] R)
-    lhs_scalars = [a0 * si % FP.modulus for si in s] + [a0 * b_final % FP.modulus, r_final]
+    lhs_scalars = [int(v) for v in a0 * s % FP.modulus] + [a0 * b_final % FP.modulus, r_final]
     lhs = msm(VESTA, params.g + [u_point, params.w], lhs_scalars)
 
     rhs_pts = [commitment, u_point]
