@@ -143,21 +143,52 @@ class GameSession:
     shot_proofs: list
 
 
-def prove_session(games: list, shots_per_game: int = 8, trapdoors: list | None = None) -> GameSession:
+def prove_session(
+    games: list,
+    shots_per_game: int = 8,
+    trapdoors: list | None = None,
+    workers: int | None = None,
+) -> GameSession:
     """games: list of 5-ship placement lists. Produces one board proof per
-    game plus `shots_per_game` shot proofs against each committed board."""
-    board_proofs = []
-    shot_proofs = []
+    game plus `shots_per_game` shot proofs against each committed board.
+
+    ``workers > 1`` pipelines the independent proofs across a thread pool
+    (the proof-batch PP axis, SURVEY §2.3): device dispatches release the
+    GIL, so one proof's host phases (synthesis, transcript, grand products)
+    overlap another's device phases (NTT batches, MSM commits, quotient).
+    Default 1 (BZ_SESSION_WORKERS env overrides)."""
+    import os
+
+    if workers is None:
+        workers = int(os.environ.get("BZ_SESSION_WORKERS", "1"))
+
+    board_jobs = []  # (ships, trapdoor)
+    shot_jobs = []  # (state, trapdoor, xy, hit)
     for gi, ships in enumerate(games):
         trapdoor = trapdoors[gi] if trapdoors else FQ.random()
-        bp = prove_board(ships, trapdoor)
-        board_proofs.append(bp)
-        board = Board.from_deck(Deck.from_placements(ships))
-        state = board.state()
+        board_jobs.append((ships, trapdoor))
+        state = Board.from_deck(Deck.from_placements(ships)).state()
         for si in range(shots_per_game):
             x, y = si % 10, (si * 3 + gi) % 10
-            hit = state.bit(y * 10 + x)
-            shot_proofs.append(prove_shot(state, trapdoor, (x, y), hit))
+            shot_jobs.append((state, trapdoor, (x, y), bool(state.bit(y * 10 + x))))
+
+    # warm the key caches serially (keygen is not a pipeline stage)
+    if board_jobs:
+        _board_keys()
+    if shot_jobs:
+        _shot_keys()
+
+    if workers <= 1:
+        board_proofs = [prove_board(s, t) for s, t in board_jobs]
+        shot_proofs = [prove_shot(*job) for job in shot_jobs]
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            bf = [pool.submit(prove_board, s, t) for s, t in board_jobs]
+            sf = [pool.submit(prove_shot, *job) for job in shot_jobs]
+            board_proofs = [f.result() for f in bf]
+            shot_proofs = [f.result() for f in sf]
     return GameSession(board_proofs, shot_proofs)
 
 

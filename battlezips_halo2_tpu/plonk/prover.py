@@ -25,14 +25,23 @@ _TRACE = os.environ.get("BZ_TPU_TRACE", "") not in ("", "0")
 _HOST_QUOTIENT = os.environ.get("BZ_HOST_QUOTIENT", "") not in ("", "0")
 
 
+import threading
+
+_evaluator_lock = threading.Lock()
+
+
 def _get_quotient_evaluator(vk, schedule):
-    """One compiled evaluator per verifying key (cached on the vk)."""
+    """One compiled evaluator per verifying key (cached on the vk); built
+    under a lock so pipelined session workers don't compile it twice."""
     ev = getattr(vk, "_quotient_evaluator", None)
     if ev is None:
-        from ..ops.gate_eval import QuotientEvaluator
+        with _evaluator_lock:
+            ev = getattr(vk, "_quotient_evaluator", None)
+            if ev is None:
+                from ..ops.gate_eval import QuotientEvaluator
 
-        ev = QuotientEvaluator(vk, schedule)
-        vk._quotient_evaluator = ev
+                ev = QuotientEvaluator(vk, schedule)
+                vk._quotient_evaluator = ev
     return ev
 
 

@@ -204,3 +204,12 @@ class TestSessionAPI:
             proof=sp.proof,
         )
         assert not api.verify_session(session)
+
+    def test_session_pipelined_workers(self):
+        """workers=2 pipelines independent proofs across threads (proof-
+        batch PP); results must verify exactly like the serial path."""
+        from battlezips_halo2_tpu import api
+
+        placements = [(3, 3, True), (5, 4, False), (0, 1, False), (0, 5, True), (6, 1, False)]
+        session = api.prove_session([placements], shots_per_game=2, workers=2)
+        assert api.verify_session(session)
