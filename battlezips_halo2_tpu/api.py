@@ -39,7 +39,7 @@ def _cached_pk(name: str, params, make_circuit):
     """pk/vk artifact store keyed by (circuit, k) — the persistence layer
     the reference's wasm API lacks (circuit_wasm.rs regenerates keys every
     call; SURVEY.md §5.4)."""
-    from .plonk.keygen import ProvingKey
+    from .plonk.keys import ProvingKey
 
     # schema v3: selector compression with degree-true lookup budgets
     # changed the pk layout — versioned filename invalidates stale artifacts

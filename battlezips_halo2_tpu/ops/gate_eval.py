@@ -42,7 +42,7 @@ from ..fields.host import FP
 from ..fields.limb import FP_SPEC, ints_to_limbs
 from ..plonk.arguments import ProofSchedule
 from ..plonk.expression import ColumnType
-from ..plonk.keygen import DELTA, selector_column_index
+from ..plonk.keys import DELTA, selector_column_index
 from . import ntt as D
 
 P = FP.modulus
@@ -168,7 +168,7 @@ def quotient_poly_keys(cs, num_perm_chunks: int):
     the prover stacks its coefficient polys in exactly this order."""
     keys = []
     keys += [("advice", i) for i in range(cs.num_advice)]
-    from ..plonk.keygen import num_fixed_total
+    from ..plonk.keys import num_fixed_total
 
     keys += [("fixed", i) for i in range(num_fixed_total(cs))]
     keys += [("instance", i) for i in range(cs.num_instance)]

@@ -27,32 +27,13 @@ class Circuit:
         raise NotImplementedError
 
 
-def _keygen(params, circuit):
-    import sys
+def keygen(params, circuit):
+    """Build pk (and embedded vk) — lazy import (plonk.keys pulls in the
+    pcs/ops stack; the submodule is named `keys`, not `keygen`, so this
+    function binding can never be shadowed by a submodule import)."""
+    from .keys import keygen as _impl
 
-    return sys.modules[__name__ + ".keygen"].keygen(params, circuit)
-
-
-def create_proof(params, pk, circuit, instances, rng):
-    from .prover import create_proof as _create
-
-    return _create(params, pk, circuit, instances, rng)
-
-
-def verify_proof(params, vk, proof, instances):
-    from .verifier import verify_proof as _verify
-
-    return _verify(params, vk, proof, instances)
-
-
-# Loading the `.keygen` SUBMODULE sets the package attribute ``keygen`` to
-# the module object, which would silently shadow a same-named function for
-# any later `from battlezips_halo2_tpu.plonk import keygen` (the binding
-# depended on whether a proof had run first). Import the submodule eagerly,
-# then pin the function binding — order-independent from here on.
-from . import keygen as _keygen_module  # noqa: E402
-
-keygen = _keygen
+    return _impl(params, circuit)
 
 
 __all__ = [

@@ -14,7 +14,7 @@ from dataclasses import dataclass, field
 from ..fields.host import FP
 from .circuit import ConstraintSystem
 from .expression import Column, ColumnType
-from .keygen import DELTA, num_fixed_total, selector_column_index
+from .keys import DELTA, num_fixed_total, selector_column_index
 
 P = FP.modulus
 

@@ -77,7 +77,7 @@ from .arguments import (
 from .assignment import Assignment, Layouter
 from .circuit import ConstraintSystem
 from .expression import ColumnType
-from .keygen import ProvingKey
+from .keys import ProvingKey
 from .transcript import TranscriptWrite
 
 P = FP.modulus
@@ -223,7 +223,7 @@ def create_proof(
     chunk_len = schedule.chunk_len
     chunk_cols = [perm.columns[i : i + chunk_len] for i in range(0, len(perm.columns), chunk_len)]
     chunk_sigmas = [perm.sigmas[i : i + chunk_len] for i in range(0, len(perm.sigmas), chunk_len)]
-    from .keygen import DELTA
+    from .keys import DELTA
 
     omega = domain.omega
     perm_z_values = []

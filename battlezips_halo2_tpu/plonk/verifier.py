@@ -18,7 +18,7 @@ from ..poly.domain import eval_poly_coeffs
 from ..poly.transforms import batch_lagrange_to_coeff
 from .arguments import ProofSchedule, evaluate_expression, lookup_terms, permutation_terms
 from .expression import ColumnType
-from .keygen import VerifyingKey
+from .keys import VerifyingKey
 from .transcript import TranscriptRead
 
 P = FP.modulus

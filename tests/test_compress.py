@@ -10,7 +10,7 @@ from battlezips_halo2_tpu.pcs.ipa import Params
 from battlezips_halo2_tpu.plonk import Circuit, ConstraintSystem, create_proof, keygen, verify_proof
 from battlezips_halo2_tpu.plonk.compress import _indicator, plan_groups
 from battlezips_halo2_tpu.plonk.expression import CellQuery, Column, ColumnType
-from battlezips_halo2_tpu.plonk.keygen import num_fixed_total
+from battlezips_halo2_tpu.plonk.keys import num_fixed_total
 
 P = FP.modulus
 

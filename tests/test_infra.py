@@ -67,7 +67,7 @@ class TestPersistence:
     def test_pk_save_load_roundtrip(self, tmp_path):
         from battlezips_halo2_tpu.pcs.ipa import Params
         from battlezips_halo2_tpu.plonk import keygen
-        from battlezips_halo2_tpu.plonk.keygen import ProvingKey
+        from battlezips_halo2_tpu.plonk.keys import ProvingKey
         from test_prover import MulCircuit
 
         params = Params.new(5)
@@ -106,10 +106,12 @@ class TestLayout:
 
 class TestImports:
     def test_keygen_binding_is_function_not_module(self):
-        """Importing the plonk.keygen SUBMODULE must not shadow the
-        plonk.keygen function binding (regression: the binding used to
-        depend on whether a proof had run first)."""
-        import battlezips_halo2_tpu.plonk.keygen  # noqa: F401 — submodule load
+        """plonk.keygen must stay a function under every import order
+        (regression: the impl submodule was once also named `keygen`, and
+        loading it rebound the package attribute to the module — the
+        binding depended on whether a proof had run first; the impl now
+        lives in plonk.keys)."""
+        import battlezips_halo2_tpu.plonk.keys  # noqa: F401 — submodule load
         from battlezips_halo2_tpu.plonk import keygen
 
         assert callable(keygen) and not hasattr(keygen, "__path__")
