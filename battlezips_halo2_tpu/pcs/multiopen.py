@@ -59,7 +59,10 @@ def _group(queries, key_fn):
     set_order = []
     sets: dict = {}
     for k in poly_keys:
-        pts = tuple(sorted(by_poly[k]["points"]))
+        # repr-keyed sort: any total order works (the tuple is only a set
+        # key), and repr tolerates the format-describer's symbolic points
+        # (("rot", "last")) alongside real int points
+        pts = tuple(sorted(by_poly[k]["points"], key=repr))
         if pts not in sets:
             sets[pts] = []
             set_order.append(pts)

@@ -36,6 +36,20 @@ def keygen(params, circuit):
     return _impl(params, circuit)
 
 
+def create_proof(params, pk, circuit, instances, rng):
+    """Full prover pipeline — lazy import (plonk.prover pulls in pcs/ops)."""
+    from .prover import create_proof as _impl
+
+    return _impl(params, pk, circuit, instances, rng)
+
+
+def verify_proof(params, vk, proof, instances):
+    """Verifier — lazy import (plonk.verifier pulls in pcs/ops)."""
+    from .verifier import verify_proof as _impl
+
+    return _impl(params, vk, proof, instances)
+
+
 __all__ = [
     "keygen",
     "create_proof",
