@@ -79,6 +79,7 @@ def consts_t(spec: FieldSpec):
             [((1 << 272) - spec.modulus) >> (16 * i) & 0xFFFF for i in range(17)],
             dtype=np.uint32,
         ).reshape(17, 1),  # (17, 1) 2^272 - p
+        "np_col": np.asarray(spec.nprime_limbs).reshape(NLIMBS, 1),  # (16, 1) -p^-1 mod 2^256
         "one_col": spec.one_mont.reshape(NLIMBS, 1),  # (16, 1) uint32
     }
 
@@ -247,6 +248,67 @@ def redc(cst, t_lanes):
 
 def mont_mul(cst, a, b):
     return redc(cst, _mul_lanes(cst, a, b))
+
+
+# ------------------------------------------------- int32 schoolbook variant
+#
+# The f32/MXU formulation above pays for 8-bit chunk expansion (32x operand
+# blowup) plus Precision.HIGHEST f32 matmuls. On the VPU, a u32 multiply of
+# two canonical 16-bit limbs is EXACT (product < 2^32), so plain schoolbook
+# with lo/hi split accumulation needs no chunk expansion at all: 16 shifted
+# multiply-accumulate passes over (16, N) rows. Intended for Pallas kernels
+# where every intermediate is VMEM-resident.
+
+
+def _mul_lanes_i32(a, b):
+    """Full product of (16, N) x (16, N) canonical limbs as (33, N)
+    unnormalized u32 lanes (< 33 * 2^16): pure u32 VPU multiplies."""
+    n = a.shape[1]
+    t = jnp.zeros((33, n), U32)
+    for j in range(NLIMBS):
+        p = a * b[j : j + 1]  # exact: < 2^32
+        t = t.at[j : j + NLIMBS].add(p & MASK)
+        t = t.at[j + 1 : j + NLIMBS + 1].add(p >> 16)
+    return t
+
+
+def _mul_low_i32(a, b):
+    """Low 16 limbs of the product (mod 2^256), unnormalized u32 lanes."""
+    n = a.shape[1]
+    t = jnp.zeros((NLIMBS, n), U32)
+    for j in range(NLIMBS):
+        w = NLIMBS - j
+        p = a[:w] * b[j : j + 1]
+        t = t.at[j:].add(p & MASK)
+        if w > 1:
+            t = t.at[j + 1 :].add((p >> 16)[: w - 1])
+    return t
+
+
+def redc_i32(cst, t_lanes):
+    """Montgomery REDC of (L >= 16, N) unnormalized lanes (T < p*R, lanes
+    < 2^26) via int32 schoolbook: m = T*n' mod R; (T + m*p) / R."""
+    lanes = t_lanes.shape[0]
+    t_low = _carry16(t_lanes[:NLIMBS], NLIMBS)
+    m = _carry16(_mul_low_i32(t_low, jnp.broadcast_to(cst["np_col"], t_low.shape).astype(U32)), NLIMBS)
+    width = 2 * NLIMBS + 2
+    acc = jnp.concatenate(
+        [t_lanes, jnp.zeros((width - lanes,) + t_lanes.shape[1:], U32)], axis=0
+    ) if lanes < width else t_lanes[:width]
+    pc = cst["p_col"].astype(U32)
+    for j in range(NLIMBS):
+        pr = pc * m[j : j + 1]  # (16, N) exact
+        acc = acc.at[j : j + NLIMBS].add(pr & MASK)
+        acc = acc.at[j + 1 : j + NLIMBS + 1].add(pr >> 16)
+    s = _carry16(acc, width)
+    r17 = s[NLIMBS : NLIMBS + 17]
+    r = _cond_sub_p(cst, r17)
+    r17b = jnp.concatenate([r, jnp.zeros_like(r[0:1])], axis=0)
+    return _cond_sub_p(cst, r17b)
+
+
+def mont_mul_i32(cst, a, b):
+    return redc_i32(cst, _mul_lanes_i32(a, b))
 
 
 def is_zero(a):

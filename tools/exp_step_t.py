@@ -224,6 +224,14 @@ def _op_chain_call(n: int, tile: int, reps: int, op: str):
         for _ in range(reps):
             if op == "mul":
                 x = T.mont_mul(consts, x, b)
+            elif op == "mul32":
+                x = T.mont_mul_i32(consts, x, b)
+            elif op == "mul32raw":
+                t = T._mul_lanes_i32(x, b)
+                x = t[:16] & 0xFFFF
+            elif op == "redc32":
+                t17 = jnp.concatenate([x, jnp.zeros_like(x[0:1])], axis=0)
+                x = T.redc_i32(consts, t17)
             elif op == "add":
                 x = T.add(consts, x, b)
             elif op == "sub":
