@@ -261,10 +261,11 @@ def mont_mul(cst, a, b):
 
 
 def _mul_lanes_i32(a, b):
-    """Full product of (16, N) x (16, N) canonical limbs as (33, N)
-    unnormalized u32 lanes (< 33 * 2^16): pure u32 VPU multiplies."""
+    """Full product of (16, N) x (16, N) canonical limbs as (32, N)
+    unnormalized u32 lanes (each <= 32 * (2^16 - 1) < 2^21): pure u32 VPU
+    multiplies. A 512-bit product fits exactly 32 16-bit limbs."""
     n = a.shape[1]
-    t = jnp.zeros((33, n), U32)
+    t = jnp.zeros((32, n), U32)
     for j in range(NLIMBS):
         p = a * b[j : j + 1]  # exact: < 2^32
         t = t.at[j : j + NLIMBS].add(p & MASK)

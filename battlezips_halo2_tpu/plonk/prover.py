@@ -548,10 +548,12 @@ _config_cache: dict = {}
 def _configure_cached(cs: ConstraintSystem, circuit):
     """The prover must synthesize against the SAME ConstraintSystem the pk
     was built with; re-run configure on a throwaway CS to get a config object
-    bound to equivalent columns (deterministic configure makes them match)."""
-    key = (id(cs), type(circuit))
+    bound to equivalent columns (deterministic configure makes them match).
+    Keyed by circuit type alone: configure() is a pure function of the type,
+    and keying by id(cs) would risk stale hits after the id is recycled."""
+    key = type(circuit)
     if key not in _config_cache:
         probe = ConstraintSystem()
-        config = type(circuit).configure(probe)
+        config = key.configure(probe)
         _config_cache[key] = config
     return _config_cache[key]

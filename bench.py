@@ -232,6 +232,40 @@ def bench_board_proof(iters: int):
     }
 
 
+def bench_board_verify(iters: int):
+    """Board VERIFIER wall-clock (k=12) — the reference's board_verifier
+    bench (benches/board.rs:80-86): time verify_proof replaying one proof."""
+    from battlezips_halo2_tpu.circuits import BoardCircuit
+    from battlezips_halo2_tpu.pcs.ipa import cached_params
+    from battlezips_halo2_tpu.plonk import create_proof, keygen, verify_proof
+    from battlezips_halo2_tpu.utils import Board, Deck
+    from battlezips_halo2_tpu.utils.pedersen import pedersen_commit
+
+    board = Board.from_deck(
+        Deck.from_placements([(3, 3, True), (5, 4, False), (0, 1, False), (0, 5, True), (6, 1, False)])
+    )
+    state = board.state()
+    commitment = pedersen_commit(state.to_fp(), 0xBEEF)
+    instance = [commitment[0], commitment[1]]
+    circuit = BoardCircuit(board.witness(), state, 0xBEEF)
+    params = cached_params(12)
+    pk = keygen(params, circuit)
+    proof = create_proof(params, pk, circuit, [instance], random.Random(1))
+    assert verify_proof(params, pk.vk, proof, [instance])  # warm + gate
+    t0 = time.time()
+    for _ in range(iters):
+        assert verify_proof(params, pk.vk, proof, [instance])
+    elapsed = (time.time() - t0) / iters
+    # anchor: rust halo2 board verifier is ~5-10 ms; use 10 ms order of magnitude
+    return {
+        "metric": "board_verify_seconds",
+        "value": round(elapsed, 4),
+        "unit": "s/verify",
+        "vs_baseline": round(0.01 / elapsed, 4),
+        "detail": {"k": 12, "backend": jax.default_backend()},
+    }
+
+
 def bench_session(games: int, shots_per_game: int):
     """Batched game session (BASELINE.md config 5, single-host scale):
     `games` board proofs + games*shots_per_game shot proofs, end-to-end
@@ -255,25 +289,29 @@ def bench_session(games: int, shots_per_game: int):
 
 def main():
     ap = argparse.ArgumentParser()
-    # default: the NTT throughput metric — stable and cache-warm; the MSM
-    # north-star sweep and the proof metrics are explicit opt-ins (their
-    # first-run compiles are long; see BENCH_NOTES.md)
+    # default: the north-star metric — MSM points/s/chip at 2^18 (BASELINE.md).
+    # NTT and the proof metrics are explicit opt-ins; the persistent compile
+    # cache amortizes the first-run executable builds (BENCH_NOTES.md).
     ap.add_argument(
         "--metric",
-        default="ntt",
-        choices=["msm", "ntt", "shot-proof", "board-proof", "session"],
+        default="msm",
+        choices=["msm", "ntt", "shot-proof", "board-proof", "board-verify", "session"],
     )
-    ap.add_argument("--log-size", type=int, default=16)
+    ap.add_argument("--log-size", type=int, default=None)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--games", type=int, default=2, help="session metric: game count")
     ap.add_argument("--shots", type=int, default=8, help="session metric: shots per game")
     args = ap.parse_args()
+    if args.log_size is None:
+        args.log_size = 18 if args.metric == "msm" else 16
     if args.metric == "msm":
         result = bench_msm(args.log_size, args.iters)
     elif args.metric == "ntt":
         result = bench_ntt(args.log_size, args.iters)
     elif args.metric == "board-proof":
         result = bench_board_proof(max(1, args.iters))
+    elif args.metric == "board-verify":
+        result = bench_board_verify(max(1, args.iters))
     elif args.metric == "session":
         result = bench_session(args.games, args.shots)
     else:

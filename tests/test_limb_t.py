@@ -112,3 +112,38 @@ class TestCurveT:
         out, needs_double = CT.point_add_mixed_incomplete(CST, jp, qx, qy, qinf)
         assert not np.asarray(needs_double).any()
         assert self._to_affine(out) == [VESTA.add(p, q) for p, q in zip(ps, qs)]
+
+
+class TestMontMulI32:
+    """Parity of the int32-schoolbook variant vs the f32/MXU path (ADVICE
+    round 1): bit-exact over random and edge inputs, for both Pasta fields."""
+
+    def _check(self, modulus, seed):
+        from battlezips_halo2_tpu.fields.limb import FieldSpec
+
+        spec = FieldSpec.make(modulus)
+        cst = T.consts_t(spec)
+        rng = random.Random(seed)
+        xs = [0, 1, modulus - 1, modulus - 2] + [rng.randrange(modulus) for _ in range(60)]
+        ys = [modulus - 1, 0, modulus - 1, 1] + [rng.randrange(modulus) for _ in range(60)]
+        rows_a = L.to_mont(spec, ints_to_limbs(xs))
+        rows_b = L.to_mont(spec, ints_to_limbs(ys))
+        a = np.asarray(rows_a).T.copy()
+        b = np.asarray(rows_b).T.copy()
+        got_i32 = np.asarray(T.mont_mul_i32(cst, a, b))
+        got_f32 = np.asarray(T.mont_mul(cst, a, b))
+        assert (got_i32 == got_f32).all()
+        # and against exact integer math (inputs/outputs are Montgomery form)
+        exp = [x * y % modulus for x, y in zip(xs, ys)]
+        got_ints = L.limbs_to_ints(np.asarray(L.from_mont(spec, got_i32.T.copy())))
+        assert got_ints == exp
+
+    def test_fp(self):
+        from battlezips_halo2_tpu.fields import FP
+
+        self._check(FP.modulus, 11)
+
+    def test_fq(self):
+        from battlezips_halo2_tpu.fields import FQ
+
+        self._check(FQ.modulus, 12)
