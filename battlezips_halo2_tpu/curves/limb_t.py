@@ -33,7 +33,7 @@ def select_point(cond, a: JacobianPointT, b: JacobianPointT) -> JacobianPointT:
 def point_double(cst, p: JacobianPointT) -> JacobianPointT:
     """2P, a = 0 ('dbl-2009-l'); identity-safe."""
     mul, add, sub = (
-        lambda a, b: T.mont_mul(cst, a, b),
+        lambda a, b: T.mont_mul_sel(cst, a, b),
         lambda a, b: T.add(cst, a, b),
         lambda a, b: T.sub(cst, a, b),
     )
@@ -58,7 +58,7 @@ def point_double(cst, p: JacobianPointT) -> JacobianPointT:
 def point_add(cst, p: JacobianPointT, q: JacobianPointT) -> JacobianPointT:
     """P + Q, fully general ('add-2007-bl' + branchless candidates)."""
     mul, add, sub = (
-        lambda a, b: T.mont_mul(cst, a, b),
+        lambda a, b: T.mont_mul_sel(cst, a, b),
         lambda a, b: T.add(cst, a, b),
         lambda a, b: T.sub(cst, a, b),
     )
@@ -100,7 +100,7 @@ def point_add_mixed_incomplete(cst, p: JacobianPointT, qx, qy, q_inf):
     doubling branch: returns (result, needs_double (1, N) bool). Device twin
     of curves/limb.point_add_mixed_incomplete in the transposed layout."""
     mul, add, sub = (
-        lambda a, b: T.mont_mul(cst, a, b),
+        lambda a, b: T.mont_mul_sel(cst, a, b),
         lambda a, b: T.add(cst, a, b),
         lambda a, b: T.sub(cst, a, b),
     )

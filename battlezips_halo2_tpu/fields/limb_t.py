@@ -81,6 +81,10 @@ def consts_t(spec: FieldSpec):
         ).reshape(17, 1),  # (17, 1) 2^272 - p
         "np_col": np.asarray(spec.nprime_limbs).reshape(NLIMBS, 1),  # (16, 1) -p^-1 mod 2^256
         "one_col": spec.one_mont.reshape(NLIMBS, 1),  # (16, 1) uint32
+        # STATIC Python-int limb tuples (keys ending in _ints are not
+        # arrays: pallas harnesses must close over them, not pass as refs)
+        "np_ints": tuple(int(x) for x in spec.nprime_limbs),
+        "p_ints": tuple(int(x) for x in spec.p_limbs),
     }
 
 
@@ -260,6 +264,25 @@ def mont_mul(cst, a, b):
 # where every intermediate is VMEM-resident.
 
 
+def _shifted_add(t, contrib, d: int):
+    """t + (contrib shifted down by d sublanes), all static shapes.
+
+    Written as concat + slice instead of .at[d:d+k].add: the scatter path
+    captures empty index constants that Pallas (jax 0.9) rejects inside
+    kernels, while sublane concats/slices lower cleanly in Mosaic."""
+    lanes = t.shape[0]
+    k = contrib.shape[0]
+    if d > 0:
+        contrib = jnp.concatenate(
+            [jnp.zeros((d,) + contrib.shape[1:], contrib.dtype), contrib], axis=0
+        )
+    if d + k < lanes:
+        contrib = jnp.concatenate(
+            [contrib, jnp.zeros((lanes - d - k,) + contrib.shape[1:], contrib.dtype)], axis=0
+        )
+    return t + contrib[:lanes]
+
+
 def _mul_lanes_i32(a, b):
     """Full product of (16, N) x (16, N) canonical limbs as (32, N)
     unnormalized u32 lanes (each <= 32 * (2^16 - 1) < 2^21): pure u32 VPU
@@ -268,8 +291,8 @@ def _mul_lanes_i32(a, b):
     t = jnp.zeros((32, n), U32)
     for j in range(NLIMBS):
         p = a * b[j : j + 1]  # exact: < 2^32
-        t = t.at[j : j + NLIMBS].add(p & MASK)
-        t = t.at[j + 1 : j + NLIMBS + 1].add(p >> 16)
+        t = _shifted_add(t, p & MASK, j)
+        t = _shifted_add(t, p >> 16, j + 1)
     return t
 
 
@@ -280,27 +303,59 @@ def _mul_low_i32(a, b):
     for j in range(NLIMBS):
         w = NLIMBS - j
         p = a[:w] * b[j : j + 1]
-        t = t.at[j:].add(p & MASK)
+        t = _shifted_add(t, p & MASK, j)
         if w > 1:
-            t = t.at[j + 1 :].add((p >> 16)[: w - 1])
+            t = _shifted_add(t, (p >> 16)[: w - 1], j + 1)
+    return t
+
+
+def _mul_low_by_const_i32(a, const_ints):
+    """Low 16 limbs of a * C for a STATIC 256-bit constant C given as 16
+    Python-int limbs: scalar multiplies only (a (16,1)x(1,N) limb-vector
+    product would need a both-dims broadcast, which Mosaic can't lower)."""
+    n = a.shape[1]
+    t = jnp.zeros((NLIMBS, n), U32)
+    for i, ci in enumerate(const_ints):
+        ci = int(ci)
+        if ci == 0:
+            continue
+        w = NLIMBS - i
+        p = a[:w] * U32(ci)  # exact: < 2^32
+        t = _shifted_add(t, p & MASK, i)
+        if w > 1:
+            t = _shifted_add(t, (p >> 16)[: w - 1], i + 1)
+    return t
+
+
+def _mul_lanes_by_const_i32(a, const_ints, out_lanes: int):
+    """a (16, N) times a STATIC constant (16 Python-int limbs) as
+    (out_lanes, N) unnormalized u32 lanes."""
+    n = a.shape[1]
+    t = jnp.zeros((out_lanes, n), U32)
+    for i, ci in enumerate(const_ints):
+        ci = int(ci)
+        if ci == 0:
+            continue
+        p = a * U32(ci)  # exact: < 2^32
+        t = _shifted_add(t, p & MASK, i)
+        t = _shifted_add(t, p >> 16, i + 1)
     return t
 
 
 def redc_i32(cst, t_lanes):
     """Montgomery REDC of (L >= 16, N) unnormalized lanes (T < p*R, lanes
-    < 2^26) via int32 schoolbook: m = T*n' mod R; (T + m*p) / R."""
+    < 2^26) via int32 schoolbook: m = T*n' mod R; (T + m*p) / R.
+
+    Both REDC multiplies have a CONSTANT operand (n' and p), so they run as
+    static scalar-multiply accumulations (np_ints/p_ints in the consts)."""
     lanes = t_lanes.shape[0]
     t_low = _carry16(t_lanes[:NLIMBS], NLIMBS)
-    m = _carry16(_mul_low_i32(t_low, jnp.broadcast_to(cst["np_col"], t_low.shape).astype(U32)), NLIMBS)
+    m = _carry16(_mul_low_by_const_i32(t_low, cst["np_ints"]), NLIMBS)
     width = 2 * NLIMBS + 2
     acc = jnp.concatenate(
         [t_lanes, jnp.zeros((width - lanes,) + t_lanes.shape[1:], U32)], axis=0
     ) if lanes < width else t_lanes[:width]
-    pc = cst["p_col"].astype(U32)
-    for j in range(NLIMBS):
-        pr = pc * m[j : j + 1]  # (16, N) exact
-        acc = acc.at[j : j + NLIMBS].add(pr & MASK)
-        acc = acc.at[j + 1 : j + NLIMBS + 1].add(pr >> 16)
+    acc = acc + _mul_lanes_by_const_i32(m, cst["p_ints"], width)
     s = _carry16(acc, width)
     r17 = s[NLIMBS : NLIMBS + 17]
     r = _cond_sub_p(cst, r17)
@@ -310,6 +365,15 @@ def redc_i32(cst, t_lanes):
 
 def mont_mul_i32(cst, a, b):
     return redc_i32(cst, _mul_lanes_i32(a, b))
+
+
+def mont_mul_sel(cst, a, b):
+    """Route to the i32 schoolbook when the consts carry use_i32=True (set
+    by the fused Pallas kernels — pure-VPU multiplies, no chunk expansion);
+    the f32/MXU path otherwise."""
+    if cst.get("use_i32"):
+        return mont_mul_i32(cst, a, b)
+    return mont_mul(cst, a, b)
 
 
 def is_zero(a):

@@ -106,15 +106,31 @@ import os
 from .dispatch import device_call
 
 _PALLAS_MSM = os.environ.get("BZ_PALLAS_MSM", "") not in ("", "0")
+# fused transposed-layout scan step (pallas_kernels.msm_step_T): the
+# microbenchmark (tools/exp_step_t.py) measured ~4-7x per-row vs the jnp
+# chunk path, but the INTEGRATED bench regressed (2^14: 1.07 s vs 0.41 s
+# jnp — the per-step transposes/scatters around the kernel dominate), so
+# the path is OPT-IN (BZ_PALLAS_MSM_T=1) until the transposed layout is
+# carried through the whole bucket pipeline.
+_PALLAS_MSM_T = os.environ.get("BZ_PALLAS_MSM_T", "") not in ("", "0")
+
+
+def _use_fused_T() -> bool:
+    if not _PALLAS_MSM_T:
+        return False
+    from .pallas_kernels import use_pallas
+
+    return use_pallas()
 
 
 def _combine_points(spec: FieldSpec, a: JacobianPoint, b: JacobianPoint) -> JacobianPoint:
     """The scan combine: one full Jacobian addition.
 
-    BZ_PALLAS_MSM=1 routes through the fused Pallas kernel (all ~30
-    Montgomery muls VMEM-resident). Opt-in: on the current toolchain the
-    large-grid kernel has crashed the TPU worker (kernel fault) — the jnp
-    path is the stable default."""
+    On the TPU backend this routes through the fused transposed Pallas
+    kernel (point_add_T: i32 schoolbook muls, VMEM-resident temps) — the
+    row-layout operands are transposed around the call, which costs ~1% of
+    the fused win. BZ_PALLAS_MSM=1 selects the legacy row-layout kernel;
+    BZ_NO_PALLAS_MSM_T=1 falls back to the plain jnp formulation."""
     if _PALLAS_MSM and a.x.ndim == 2:
         from .pallas_kernels import use_pallas
 
@@ -122,6 +138,16 @@ def _combine_points(spec: FieldSpec, a: JacobianPoint, b: JacobianPoint) -> Jaco
             from .pallas_kernels import point_add_rows
 
             return point_add_rows(spec, a, b)
+    if a.x.ndim == 2 and a.x.shape[0] % 128 == 0 and _use_fused_T():
+        from .pallas_kernels import point_add_T
+        from ..curves.limb_t import JacobianPointT
+
+        r = point_add_T(
+            spec,
+            JacobianPointT(a.x.T, a.y.T, a.z.T),
+            JacobianPointT(b.x.T, b.y.T, b.z.T),
+        )
+        return JacobianPoint(r.x.T, r.y.T, r.z.T)
     return point_add(spec, a, b)
 
 
@@ -255,33 +281,74 @@ def _msm_device_wsums(
         from .pallas_kernels import use_pallas
 
         use_fused = use_pallas()
+    # fused transposed step: incomplete law only (the complete redo path is
+    # astronomically rare and stays on the jnp formulation)
+    fused_T = (not complete) and (not use_fused) and _use_fused_T()
 
-    def step(carry, xs):
-        acc, flag, bx, by, bz = carry
-        src_s, head_s, tgt_s, live_s = xs
-        px, py, pinf = qx[src_s], qy[src_s], qinf[src_s]
-        if use_fused:
-            from .pallas_kernels import msm_step_rows
+    if fused_T:
+        from .pallas_kernels import msm_step_T
+        from ..curves.limb_t import JacobianPointT
 
-            acc = msm_step_rows(spec, acc, px, py, pinf, head_s)
-        elif complete:
-            merged = point_add_mixed(spec, acc, px, py, pinf)
-            pz = jnp.where(pinf[:, None], jnp.zeros((1, 16), jnp.uint32), one[None, :])
-            acc = select_point(head_s, JacobianPoint(px, py, pz), merged)
-        else:
-            merged, needs_double = point_add_mixed_incomplete(spec, acc, px, py, pinf)
-            pz = jnp.where(pinf[:, None], jnp.zeros((1, 16), jnp.uint32), one[None, :])
-            acc = select_point(head_s, JacobianPoint(px, py, pz), merged)
+        def step(carry, xs):
+            (tx, ty, tz), flag, bx, by, bz = carry  # acc leaves (16, lanes)
+            src_s, head_s, tgt_s, live_s = xs
+            px, py, pinf = qx[src_s], qy[src_s], qinf[src_s]
+            accT, needs_double = msm_step_T(
+                spec, JacobianPointT(tx, ty, tz), px.T, py.T, pinf, head_s
+            )
             flag = flag | jnp.any(needs_double & ~head_s & live_s)
-        bx = bx.at[tgt_s].set(acc.x)
-        by = by.at[tgt_s].set(acc.y)
-        bz = bz.at[tgt_s].set(acc.z)
-        return (acc, flag, bx, by, bz), None
+            ax, ay, az = accT.x.T, accT.y.T, accT.z.T
+            bx = bx.at[tgt_s].set(ax)
+            by = by.at[tgt_s].set(ay)
+            bz = bz.at[tgt_s].set(az)
+            return ((accT.x, accT.y, accT.z), flag, bx, by, bz), None
 
-    init = (infinity(spec, (lanes,)), jnp.zeros((), bool), buckets0.x, buckets0.y, buckets0.z)
-    (tail, collision, bx, by, bz), _ = jax.lax.scan(
-        step, init, (src_sl, head_sl, target_sl, live_sl)
-    )
+        inf0 = infinity(spec, (lanes,))
+        init = (
+            (inf0.x.T, inf0.y.T, inf0.z.T),
+            jnp.zeros((), bool),
+            buckets0.x,
+            buckets0.y,
+            buckets0.z,
+        )
+        ((tx, ty, tz), collision, bx, by, bz), _ = jax.lax.scan(
+            step, init, (src_sl, head_sl, target_sl, live_sl)
+        )
+        tail = JacobianPoint(tx.T, ty.T, tz.T)
+    else:
+
+        def step(carry, xs):
+            acc, flag, bx, by, bz = carry
+            src_s, head_s, tgt_s, live_s = xs
+            px, py, pinf = qx[src_s], qy[src_s], qinf[src_s]
+            if use_fused:
+                from .pallas_kernels import msm_step_rows
+
+                acc = msm_step_rows(spec, acc, px, py, pinf, head_s)
+            elif complete:
+                merged = point_add_mixed(spec, acc, px, py, pinf)
+                pz = jnp.where(pinf[:, None], jnp.zeros((1, 16), jnp.uint32), one[None, :])
+                acc = select_point(head_s, JacobianPoint(px, py, pz), merged)
+            else:
+                merged, needs_double = point_add_mixed_incomplete(spec, acc, px, py, pinf)
+                pz = jnp.where(pinf[:, None], jnp.zeros((1, 16), jnp.uint32), one[None, :])
+                acc = select_point(head_s, JacobianPoint(px, py, pz), merged)
+                flag = flag | jnp.any(needs_double & ~head_s & live_s)
+            bx = bx.at[tgt_s].set(acc.x)
+            by = by.at[tgt_s].set(acc.y)
+            bz = bz.at[tgt_s].set(acc.z)
+            return (acc, flag, bx, by, bz), None
+
+        init = (
+            infinity(spec, (lanes,)),
+            jnp.zeros((), bool),
+            buckets0.x,
+            buckets0.y,
+            buckets0.z,
+        )
+        (tail, collision, bx, by, bz), _ = jax.lax.scan(
+            step, init, (src_sl, head_sl, target_sl, live_sl)
+        )
     buckets = JacobianPoint(bx, by, bz)
 
     # ---- lane-boundary repair -------------------------------------------
@@ -304,7 +371,7 @@ def _msm_device_wsums(
         trash,
     )
     broken = JacobianPoint(buckets.x[tgt_fix], buckets.y[tgt_fix], buckets.z[tgt_fix])
-    fixed = select_point(has_fix, point_add(spec, carry_in, broken), broken)
+    fixed = select_point(has_fix, _combine_points(spec, carry_in, broken), broken)
     buckets = JacobianPoint(
         buckets.x.at[tgt_fix].set(fixed.x),
         buckets.y.at[tgt_fix].set(fixed.y),
@@ -352,8 +419,8 @@ def _aggregate_windows(spec: FieldSpec, buckets: JacobianPoint, w_count: int, nb
     def level1(carry, idx_t):
         r, acc = carry
         row = gather(idx_t)
-        r = point_add(spec, r, row)
-        acc = point_add(spec, acc, r)
+        r = _combine_points(spec, r, row)
+        acc = _combine_points(spec, acc, r)
         return (r, acc), None
 
     init = (infinity(spec, (w_count * G,)), infinity(spec, (w_count * G,)))

@@ -82,16 +82,61 @@ def plan_for(modulus: int, n: int, omega: int) -> NttPlan:
 import os
 
 _PALLAS_NTT = os.environ.get("BZ_PALLAS_NTT", "") not in ("", "0")
+# transposed fused butterfly (pallas_kernels.butterfly_stage_T): in the
+# (16, lanes) layout a stage needs NO gathers (groups are contiguous lane
+# slices and the output interleave is a static stack), and the i32 fused
+# mul microbenchmarks ~7x the XLA chunk path — but the sibling MSM fused
+# path regressed end-to-end, so this stays OPT-IN (BZ_PALLAS_NTT_T=1)
+# until the full-NTT number on the chip beats the jnp path.
+_PALLAS_NTT_T = os.environ.get("BZ_PALLAS_NTT_T", "") not in ("", "0")
+
+
+def _ntt_T(plan: NttPlan, a, interpret: bool = False):
+    """Transposed-layout NTT: one fused butterfly kernel per stage, no
+    index gathers (see _PALLAS_NTT_T note). a: (..., n, 16) Montgomery."""
+    from .pallas_kernels import butterfly_stage_T
+
+    spec = plan.spec
+    n = plan.n
+    batch = a.shape[:-2]
+    b_flat = 1
+    for d in batch:
+        b_flat *= d
+    a = jnp.take(a, jnp.asarray(plan.rev_idx), axis=-2)
+    x = jnp.swapaxes(a.reshape((max(1, b_flat), n, L.NLIMBS)), -1, -2)  # (B, 16, n)
+    if not hasattr(plan, "_tw_T"):
+        plan._tw_T = [np.ascontiguousarray(t.T) for t in plan.stage_tw_full]
+    length = 2
+    for stage in range(plan.logn):
+        half = length // 2
+        groups = n // length
+        g = x.reshape(-1, L.NLIMBS, groups, length)
+        u = g[..., :half].reshape(-1, L.NLIMBS, n // 2)
+        v = g[..., half:].reshape(-1, L.NLIMBS, n // 2)
+        tw = jnp.asarray(plan._tw_T[stage])
+        out0, out1 = butterfly_stage_T(spec, u, v, tw, interpret=interpret)
+        x = jnp.concatenate(
+            [
+                out0.reshape(-1, L.NLIMBS, groups, half),
+                out1.reshape(-1, L.NLIMBS, groups, half),
+            ],
+            axis=-1,
+        ).reshape(-1, L.NLIMBS, n)
+        length *= 2
+    return jnp.swapaxes(x, -1, -2).reshape(batch + (n, L.NLIMBS))
 
 
 def ntt(plan: NttPlan, a):
     """NTT of Montgomery-form limbs, shape (..., n, 16); natural order in
-    and out. With BZ_PALLAS_NTT=1 (TPU only) each stage runs as one fused
-    Pallas butterfly kernel."""
+    and out. On the TPU backend with n >= 512 each stage runs as one fused
+    transposed Pallas butterfly (BZ_NO_PALLAS_NTT_T=1 opts out);
+    BZ_PALLAS_NTT=1 selects the legacy row-layout kernel instead."""
     spec = plan.spec
     n = plan.n
     batch = a.shape[:-2]
     use_fused = _PALLAS_NTT and _pallas_ok()
+    if _PALLAS_NTT_T and not use_fused and n >= 512 and _pallas_ok():
+        return _ntt_T(plan, a)
     a = jnp.take(a, jnp.asarray(plan.rev_idx), axis=-2)
     for stage in range(plan.logn):
         idx_u = jnp.asarray(plan.stage_idx_u[stage])

@@ -41,9 +41,12 @@ class Transcript:
         self.state.update(FP.to_repr(scalar % FP.modulus))
 
     def squeeze_challenge(self) -> int:
+        """halo2 0.2.0 semantics (transcript.rs squeeze_challenge): absorb
+        the challenge prefix byte, then finalize a CLONE of the state — the
+        digest is NOT fed back into the running state (successive squeezes
+        differ only by their prefix bytes)."""
         self.state.update(PREFIX_CHALLENGE)
-        digest = self.state.digest()
-        self.state.update(digest)
+        digest = self.state.copy().digest()
         return FP.from_bytes_wide(digest)
 
     def squeeze_challenge_nonzero(self) -> int:

@@ -43,6 +43,30 @@ class TestTranscript:
         with pytest.raises(ValueError):
             w.write_point(None)
 
+    def test_squeeze_matches_halo2_state_machine(self):
+        """Pin the halo2-0.2.0 squeeze algorithm (transcript.rs): the
+        challenge is blake2b-512(person="Halo2-Transcript") over the absorb
+        stream + a 0x00 prefix byte, wide-reduced LE into Fp, and the digest
+        is NOT fed back — two successive squeezes differ only by their
+        prefix bytes. Reconstructed here with a raw hashlib state so a
+        regression in Transcript's bookkeeping can't self-mask."""
+        import hashlib
+
+        p = VESTA.mul(VESTA.generator, 7)
+        w = TranscriptWrite(VESTA)
+        w.write_point(p)
+        w.write_scalar(11)
+        c1 = w.squeeze_challenge()
+        c2 = w.squeeze_challenge()
+
+        st = hashlib.blake2b(digest_size=64, person=b"Halo2-Transcript")
+        st.update(b"\x01" + FP.to_repr(p[0]) + FP.to_repr(p[1]))
+        st.update(b"\x02" + FP.to_repr(11))
+        st.update(b"\x00")
+        assert c1 == int.from_bytes(st.digest(), "little") % FP.modulus
+        st.update(b"\x00")  # second squeeze: only another prefix byte
+        assert c2 == int.from_bytes(st.digest(), "little") % FP.modulus
+
     def test_truncated_proof_rejected(self):
         w = TranscriptWrite(VESTA)
         w.write_scalar(7)

@@ -101,7 +101,9 @@ def chain_T(acc, px, py, pinf, heads):
 
 
 # ------------------------------------------------------- pallas transposed
-_CONST_KEYS = sorted(CONSTS.keys())
+# array consts ride in as refs; *_ints tuples are static (closed over)
+_CONST_KEYS = sorted(k for k in CONSTS if not k.endswith("_ints"))
+_STATIC_CONSTS = {k: v for k, v in CONSTS.items() if k.endswith("_ints")}
 
 
 @functools.lru_cache(maxsize=None)
@@ -119,7 +121,7 @@ def _step_T_call(n: int, tile: int):
 
     def kernel(ax, ay, az, px, py, pinf, head, *rest):
         crefs, (ox, oy, oz) = rest[: len(_CONST_KEYS)], rest[len(_CONST_KEYS) :]
-        consts = {k: r[:] for k, r in zip(_CONST_KEYS, crefs)}
+        consts = {**_STATIC_CONSTS, **{k: r[:] for k, r in zip(_CONST_KEYS, crefs)}}
         acc = CT.JacobianPointT(ax[:], ay[:], az[:])
         qx, qy = px[:], py[:]
         q_inf = pinf[:] != 0
@@ -216,11 +218,39 @@ def _op_chain_call(n: int, tile: int, reps: int, op: str):
     cspecs = [fixed(np.asarray(CONSTS[k]).shape) for k in _CONST_KEYS]
     cvals = [jnp.asarray(CONSTS[k]) for k in _CONST_KEYS]
 
+    fori = os.environ.get("PROF_FORI", "") not in ("", "0")
+
+    def _one(x, b, consts):
+        if op == "mul":
+            return T.mont_mul(consts, x, b)
+        if op == "mul32":
+            return T.mont_mul_i32(consts, x, b)
+        if op == "mul32raw":
+            t = T._mul_lanes_i32(x, b)
+            return t[:16] & 0xFFFF
+        if op == "redc32":
+            t17 = jnp.concatenate([x, jnp.zeros_like(x[0:1])], axis=0)
+            return T.redc_i32(consts, t17)
+        if op == "add":
+            return T.add(consts, x, b)
+        if op == "sub":
+            return T.sub(consts, x, b)
+        if op == "raw":
+            return (x + b) & 0xFFFF
+        if op == "c16":
+            return T._carry16(x + b, 16)
+        if op == "noop":
+            return x
+        raise ValueError(op)
+
     def kernel(a_ref, b_ref, *rest):
         crefs, (o_ref,) = rest[: len(_CONST_KEYS)], rest[len(_CONST_KEYS) :]
-        consts = {k: r[:] for k, r in zip(_CONST_KEYS, crefs)}
+        consts = {**_STATIC_CONSTS, **{k: r[:] for k, r in zip(_CONST_KEYS, crefs)}}
         x = a_ref[:]
         b = b_ref[:]
+        if fori:
+            o_ref[:] = jax.lax.fori_loop(0, reps, lambda i, x: _one(x, b, consts), x)
+            return
         for _ in range(reps):
             if op == "mul":
                 x = T.mont_mul(consts, x, b)

@@ -53,10 +53,13 @@ SPEC = FieldSpec.make(VESTA.base.modulus)
 print(f"backend={jax.default_backend()} n={N} c={C} reps={REPS}", flush=True)
 
 rng = random.Random(0)
-# real-looking points: random multiples of G (synthetic small-DL points are
-# fine here; we time, not verify)
-pts = [VESTA.mul(VESTA.generator, rng.randrange(1, VESTA.scalar.modulus)) for _ in range(256)]
-pts = (pts * ((N + 255) // 256))[:N]
+# real SRS points: DISTINCT rows, so the per-step point gather pays its
+# true HBM cost (a repeated-256-point table is cache-resident and lies)
+from battlezips_halo2_tpu.pcs.ipa import cached_params
+
+pts = cached_params(max(1, (N - 1).bit_length())).g[:N]
+if len(pts) < N:
+    pts = (pts * ((N + len(pts) - 1) // len(pts)))[:N]
 jac = affine_to_jacobian_host(SPEC, pts)
 qx0, qy0 = jnp.asarray(jac.x), jnp.asarray(jac.y)
 qinf0 = jnp.zeros(N, bool)
@@ -157,6 +160,17 @@ def scan_nogather(head_sl, target_sl, live_sl, lanes, trash, s_steps):
     return tail, flag
 
 
+def _fresh_digits(seed: int):
+    """Genuinely fresh digit VALUES: the relay memoizes on (executable,
+    input values), so `digits + 0` does NOT defeat it — only new values do."""
+    r = random.Random(seed)
+    sets = [
+        M.scalars_to_signed_digits([r.randrange(VESTA.scalar.modulus) for _ in range(N)], C)
+        for _ in range(REPS)
+    ]
+    return jnp.asarray(np.stack(sets))
+
+
 def timed(name, make_fn):
     """make_fn() -> jitted callable over digits (R-chained inside)."""
     f = jax.jit(make_fn())
@@ -164,12 +178,19 @@ def timed(name, make_fn):
     out = f(digits_all)
     jax.tree_util.tree_map(np.asarray, out)
     compile_s = time.time() - t0
-    t0 = time.time()
-    out = f(digits_all + 0)  # fresh inputs to defeat relay memoization
-    jax.tree_util.tree_map(np.asarray, out)
-    dt = time.time() - t0
-    print(f"{name:12s}: {dt / REPS * 1000:9.1f} ms/rep   (compile+first {compile_s:.1f}s)", flush=True)
-    return dt / REPS
+    best = None
+    for trial in range(2):
+        fresh = _fresh_digits(1000 + trial)
+        t0 = time.time()
+        out = f(fresh)
+        jax.tree_util.tree_map(np.asarray, out)
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    print(
+        f"{name:12s}: {best / REPS * 1000:9.1f} ms/rep   (compile+first {compile_s:.1f}s)",
+        flush=True,
+    )
+    return best / REPS
 
 
 def chain(fn):
@@ -208,6 +229,34 @@ if "scan" in which:
         return tail.x, flag, buckets.x[:8]
 
     timed("sort+scan", lambda: chain(s))
+
+if "agg" in which:
+    # buckets built with ONE flat gather+scatter (no scan), then the real
+    # two-level aggregation; "aggprep" times the build alone so the
+    # difference isolates _aggregate_windows
+    from battlezips_halo2_tpu.curves.limb import JacobianPoint as _JP
+
+    def _prep(d):
+        k_s, src = sort_phase(d)
+        trash = W * (NBUCK + 1)
+        w_of = k_s // NBUCK
+        d_of = k_s % NBUCK
+        tgt = jnp.where(d_of != 0, w_of * (NBUCK + 1) + d_of, trash)
+        bx = jnp.zeros((trash + 1, 16), jnp.uint32).at[tgt].set(qx[src])
+        by = jnp.zeros((trash + 1, 16), jnp.uint32).at[tgt].set(qy[src])
+        bz = jnp.zeros((trash + 1, 16), jnp.uint32).at[tgt].set(qy[src] ^ 1)
+        return _JP(bx, by, bz)
+
+    def aprep(d):
+        b = _prep(d)
+        return b.x[:4], b.z[:4]
+
+    def a(d):
+        wsums = M._aggregate_windows(SPEC, _prep(d), W, NBUCK)
+        return wsums.x
+
+    timed("aggprep", lambda: chain(aprep))
+    timed("prep+agg", lambda: chain(a))
 
 if "full" in which:
     def full(d):
