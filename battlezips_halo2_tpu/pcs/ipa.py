@@ -165,62 +165,96 @@ def create_open_proof(
     rng,
 ):
     """Open the committed polynomial at x (value p(x) is already known to
-    the verifier via the transcript)."""
-    from ..ops.msm import msm_many
+    the verifier via the transcript).
 
+    halo2 0.2.0 structure (poly/commitment/prover.rs create_proof):
+
+    1. commit a random polynomial S with a root at x (written), squeeze ξ
+       (binds P to S) and z (guards the U term);
+    2. fold P' = ξ·S + P with its constant term shifted so P'(x) = 0;
+    3. k rounds:  L_j = <p'_hi, G'_lo> + [z·<p'_hi, b_lo>]U + [l_rand]W,
+                  R_j = <p'_lo, G'_hi> + [z·<p'_lo, b_hi>]U + [r_rand]W,
+       squeeze u_j, fold p' <- p'_lo + u_j^-1·p'_hi, b <- b_lo + u_j·b_hi,
+       G' <- G'_lo + u_j·G'_hi (so C' = C + [u_j^-1]L + [u_j]R);
+    4. write a = p'_final and the synthetic blind
+       f = blind' + Σ (u_j^-1·l_rand_j + u_j·r_rand_j).
+
+    The folded G' vector is never materialized: each folded entry is a
+    u-power product of original G points, so every round's L/R point parts
+    are MSMs over the ORIGINAL G with composite scalar vectors (c =
+    accumulated u-powers, pos = current fold position) — same bytes, device
+    MSMs instead of host point folds."""
     m = FP.modulus
     n = params.n
-    a = np.zeros(n, dtype=object)
-    a[: len(coeffs)] = [c % m for c in coeffs]
+    from ..ops.msm import msm_many
+
+    p_prime = np.zeros(n, dtype=object)
+    p_prime[: len(coeffs)] = [c % m for c in coeffs]
     b = np.empty(n, dtype=object)
     acc = 1
     for i in range(n):
         b[i] = acc
         acc = acc * x % m
 
-    xi = transcript.squeeze_challenge_nonzero()
-    u_point = VESTA.mul(params.u, xi)
+    # --- synthetic random polynomial with a root at x ----------------------
+    s_poly = [FP.random(rng) for _ in range(n)]
+    s_at_x = 0
+    for c in reversed(s_poly):
+        s_at_x = (s_at_x * x + c) % m
+    s_poly[0] = (s_poly[0] - s_at_x) % m
+    s_blind = FP.random(rng)
+    transcript.write_point(commit(params, s_poly, s_blind))
 
-    # The folded G vector is never materialized: each folded entry is a
-    # +-power-product combination of original G points, so every round's
-    # L/R inner products are MSMs over the ORIGINAL G with composite
-    # scalar vectors (c = accumulated u-powers, p = current fold position).
-    # Row math is vectorized over numpy object arrays of exact ints.
+    xi = transcript.squeeze_challenge()
+    z = transcript.squeeze_challenge()
+
+    s_arr = np.empty(n, dtype=object)
+    s_arr[:] = s_poly
+    p_prime = (xi * s_arr + p_prime) % m
+    v = int(np.sum(p_prime * b)) % m  # p'(x) before the shift
+    p_prime[0] = (p_prime[0] - v) % m
+    f = (blind + xi * s_blind) % m
+
     c_coeff = np.ones(n, dtype=object)
     pos = np.arange(n)
 
-    r = blind % m
     length = n
     while length > 1:
         half = length // 2
-        a_lo, a_hi = a[:half], a[half:length]
+        p_lo, p_hi = p_prime[:half], p_prime[half:length]
         b_lo, b_hi = b[:half], b[half:length]
 
-        l_blind = FP.random(rng)
-        r_blind = FP.random(rng)
-        value_l = int(np.sum(a_lo * b_hi)) % m
-        value_r = int(np.sum(a_hi * b_lo)) % m
+        l_rand = FP.random(rng)
+        r_rand = FP.random(rng)
+        value_l = int(np.sum(p_hi * b_lo)) % m
+        value_r = int(np.sum(p_lo * b_hi)) % m
 
+        # composite scalars over the ORIGINAL G: an original index i sits at
+        # fold position pos_i with coefficient c_i, so
+        #   <p'_hi, G'_lo> = Σ_{pos_i <  half} c_i · p'[pos_i + half] · G_i
+        #   <p'_lo, G'_hi> = Σ_{pos_i >= half} c_i · p'[pos_i - half] · G_i
         hi_mask = pos >= half
-        v_l = np.where(hi_mask, c_coeff * a[np.where(hi_mask, pos - half, 0)] % m, 0)
-        v_r = np.where(~hi_mask, c_coeff * a[np.where(~hi_mask, pos + half, 0)] % m, 0)
-        base_l, base_r = msm_many(VESTA, params.g, [[int(v) for v in v_l], [int(v) for v in v_r]])
-        L = VESTA.add(base_l, VESTA.add(VESTA.mul(u_point, value_l), VESTA.mul(params.w, l_blind)))
-        R = VESTA.add(base_r, VESTA.add(VESTA.mul(u_point, value_r), VESTA.mul(params.w, r_blind)))
+        v_l = np.where(~hi_mask, c_coeff * p_prime[np.where(~hi_mask, pos + half, 0)] % m, 0)
+        v_r = np.where(hi_mask, c_coeff * p_prime[np.where(hi_mask, pos - half, 0)] % m, 0)
+        base_l, base_r = msm_many(VESTA, params.g, [[int(t) for t in v_l], [int(t) for t in v_r]])
+        L = VESTA.add(base_l, VESTA.add(VESTA.mul(params.u, value_l * z % m), VESTA.mul(params.w, l_rand)))
+        R = VESTA.add(base_r, VESTA.add(VESTA.mul(params.u, value_r * z % m), VESTA.mul(params.w, r_rand)))
         transcript.write_point(L)
         transcript.write_point(R)
         u = transcript.squeeze_challenge_nonzero()
         u_inv = FP.inv(u)
 
-        a = (u * a_lo + u_inv * a_hi) % m
-        b = (u_inv * b_lo + u * b_hi) % m
-        c_coeff = np.where(hi_mask, c_coeff * u % m, c_coeff * u_inv % m)
+        p_prime = (p_lo + u_inv * p_hi) % m
+        b = (b_lo + u * b_hi) % m
+        # G' <- G'_lo + u·G'_hi: high-half entries pick up a factor u and
+        # move down; low-half entries are unchanged
+        c_coeff = np.where(hi_mask, c_coeff * u % m, c_coeff)
         pos = np.where(hi_mask, pos - half, pos)
-        r = (r + u * u % m * l_blind + u_inv * u_inv % m * r_blind) % m
+        f = (f + u_inv * l_rand + u * r_rand) % m
         length = half
 
-    transcript.write_scalar(int(a[0]))
-    transcript.write_scalar(r)
+    transcript.write_scalar(int(p_prime[0]))
+    transcript.write_scalar(f)
 
 
 def verify_open_proof(
@@ -230,11 +264,22 @@ def verify_open_proof(
     x: int,
     value: int,
 ) -> bool:
-    """Verify an opening; O(n) MSM for G_final plus O(log n) point ops."""
+    """Verify an opening; O(n) MSM for G_final plus O(log n) point ops.
+
+    halo2 0.2.0 structure (poly/commitment/verifier.rs): read S, squeeze
+    ξ and z, read k (L, R, u_j) rounds, then check
+
+        [a]G_fin + [a·b_fin·z]U + [f]W
+            == P - [v]G_0 + [ξ]S + Σ_j ([u_j^-1]L_j + [u_j]R_j)
+
+    with b_fin = Π_j (1 + u_j·x^(n/2^(j+1))) and s_i = Π_{j: bit} u_j
+    (the G' fold multiplies high halves by u_j and leaves low halves)."""
+    m = FP.modulus
     n = params.n
     k = params.k
-    xi = transcript.squeeze_challenge_nonzero()
-    u_point = VESTA.mul(params.u, xi)
+    s_commitment = transcript.read_point()
+    xi = transcript.squeeze_challenge()
+    z = transcript.squeeze_challenge()
 
     ls, rs, us = [], [], []
     for _ in range(k):
@@ -242,41 +287,34 @@ def verify_open_proof(
         rs.append(transcript.read_point())
         us.append(transcript.squeeze_challenge_nonzero())
     a0 = transcript.read_scalar()
-    r_final = transcript.read_scalar()
+    f_final = transcript.read_scalar()
 
-    # b_final = prod_j (u_j^-1 + u_j * x^(half_j)), half_j = n / 2^(j+1)
+    # b_final = prod_j (1 + u_j * x^(half_j)), half_j = n / 2^(j+1)
     b_final = 1
     half = n // 2
     for u in us:
-        term = (FP.inv(u) + u * pow(x, half, FP.modulus)) % FP.modulus
-        b_final = b_final * term % FP.modulus
+        b_final = b_final * ((1 + u * pow(x, half, m)) % m) % m
         half //= 2
 
-    # s vector: s_i = prod_j u_j^(+1 if bit else -1) — one vectorized
+    # s vector: s_i = prod_{j: bit (k-1-j) of i set} u_j — one vectorized
     # object-array select+multiply per round instead of n*k Python ops
     s = np.ones(n, dtype=object)
     idx = np.arange(n)
     half = n // 2
     for u in us:
-        u_inv = FP.inv(u)
         choice = np.where(
-            (idx & half).astype(bool),
-            np.full(n, u, dtype=object),
-            np.full(n, u_inv, dtype=object),
+            (idx & half).astype(bool), np.full(n, u, dtype=object), np.ones(n, dtype=object)
         )
-        s = s * choice % FP.modulus
+        s = s * choice % m
         half //= 2
 
-    # expected: [a0] G_fin + [a0*b_fin] U' + [r_fin] W
-    #        == P + [v] U' + sum ([u^2] L + [u^-2] R)
-    lhs_scalars = [int(v) for v in a0 * s % FP.modulus] + [a0 * b_final % FP.modulus, r_final]
-    lhs = msm(VESTA, params.g + [u_point, params.w], lhs_scalars)
+    lhs_scalars = [int(v) for v in a0 * s % m] + [a0 * b_final % m * z % m, f_final]
+    lhs = msm(VESTA, params.g + [params.u, params.w], lhs_scalars)
 
-    rhs_pts = [commitment, u_point]
-    rhs_scalars = [1, value % FP.modulus]
+    rhs_pts = [commitment, params.g[0], s_commitment]
+    rhs_scalars = [1, (-value) % m, xi]
     for L, R, u in zip(ls, rs, us):
         rhs_pts += [L, R]
-        u_inv = FP.inv(u)
-        rhs_scalars += [u * u % FP.modulus, u_inv * u_inv % FP.modulus]
+        rhs_scalars += [FP.inv(u), u]
     rhs = msm(VESTA, rhs_pts, rhs_scalars)
     return lhs == rhs

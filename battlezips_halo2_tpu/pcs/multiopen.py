@@ -2,10 +2,11 @@
 
 Framework analog of ``halo2_proofs::poly::multiopen`` (SURVEY.md §2.2 "IPA
 commitment scheme — multiopen (batched quotient trick)"): queries are
-grouped by point set, combined with x1 powers within a set, the quotient
-aggregate f(X) = sum_i x2^i (q_i - r_i)/prod(X - p) is committed, q_i(x3)
-evals are revealed, and a single IPA opening of f + sum x4^(i+1) q_i at x3
-closes the argument.
+grouped by point set, combined by Horner folds in x1 within a set, the
+quotient aggregate f(X) = Horner_x2 over sets of (q_i - r_i)/prod(X - p)
+is committed, q_i(x3) evals are revealed, and a single IPA opening of
+Horner_x4(f, q_0, ..., q_{K-1}) at x3 closes the argument (halo2 0.2.0
+poly/multiopen.rs fold directions).
 
 Prover and verifier MUST build their query lists in the same canonical
 order (plonk/prover.py and plonk/verifier.py share the schedule)."""
@@ -95,7 +96,12 @@ def _poly_divide_linear(poly: list[int], point: int) -> list[int]:
 
 
 def multiopen_prove(params: Params, transcript: TranscriptWrite, queries: list[Query], rng):
+    """halo2 0.2.0 structure (poly/multiopen.rs create_proof): x1 and x2
+    squeezed back-to-back; ALL combinations are Horner folds in query order
+    (q_poly = fold acc·x1 + poly; f = fold acc·x2 + quotient; final
+    p = f then fold acc·x4 + q_i)."""
     x1 = transcript.squeeze_challenge()
+    x2 = transcript.squeeze_challenge()
     _, by_poly, set_order, sets = _group(queries, key_fn=lambda q: id(q.poly))
 
     q_polys, q_blinds, q_evals = [], [], []
@@ -104,28 +110,24 @@ def multiopen_prove(params: Params, transcript: TranscriptWrite, queries: list[Q
         poly_acc = np.zeros(size, dtype=object)
         blind_acc = 0
         evals = {p: 0 for p in pts}
-        power = 1
         for k in sets[pts]:
             info = by_poly[k]
             poly = info["queries"][0].poly
             blind = info["queries"][0].blind
             arr = np.empty(len(poly), dtype=object)
             arr[:] = poly
-            poly_acc[: len(poly)] = (poly_acc[: len(poly)] + power * arr) % P
-            blind_acc = (blind_acc + power * blind) % P
+            poly_acc = poly_acc * x1 % P
+            poly_acc[: len(poly)] = (poly_acc[: len(poly)] + arr) % P
+            blind_acc = (blind_acc * x1 + blind) % P
             ev_by_point = {q.point: q.eval for q in info["queries"]}
             for p in pts:
-                evals[p] = (evals[p] + power * ev_by_point[p]) % P
-            power = power * x1 % P
+                evals[p] = (evals[p] * x1 + ev_by_point[p]) % P
         q_polys.append([int(v) for v in poly_acc])
         q_blinds.append(blind_acc)
         q_evals.append(evals)
 
-    x2 = transcript.squeeze_challenge()
-
     f_size = max(len(qp) for qp in q_polys)
     f_acc = np.zeros(f_size, dtype=object)
-    power = 1
     for pts, qp, qe in zip(set_order, q_polys, q_evals):
         r = lagrange_interpolate(list(pts), [qe[p] for p in pts])
         quotient = _poly_sub(qp, r)
@@ -133,8 +135,8 @@ def multiopen_prove(params: Params, transcript: TranscriptWrite, queries: list[Q
             quotient = _poly_divide_linear(quotient, p)
         arr = np.empty(len(quotient), dtype=object)
         arr[:] = quotient
-        f_acc[: len(quotient)] = (f_acc[: len(quotient)] + power * arr) % P
-        power = power * x2 % P
+        f_acc = f_acc * x2 % P
+        f_acc[: len(quotient)] = (f_acc[: len(quotient)] + arr) % P
     f_poly = [int(v) for v in f_acc]
 
     f_blind = FP.random(rng)
@@ -150,62 +152,62 @@ def multiopen_prove(params: Params, transcript: TranscriptWrite, queries: list[Q
     final_acc = np.zeros(width, dtype=object)
     final_acc[: len(f_poly)] = f_poly
     final_blind = f_blind
-    mult = 1
     for qp, qb in zip(q_polys, q_blinds):
-        mult = mult * x4 % P
         arr = np.empty(len(qp), dtype=object)
         arr[:] = qp
-        final_acc[: len(qp)] = (final_acc[: len(qp)] + mult * arr) % P
-        final_blind = (final_blind + mult * qb) % P
+        final_acc = final_acc * x4 % P
+        final_acc[: len(qp)] = (final_acc[: len(qp)] + arr) % P
+        final_blind = (final_blind * x4 + qb) % P
     final_poly = [int(v) for v in final_acc]
 
     create_open_proof(params, transcript, final_poly, final_blind, x3, rng)
 
 
 def multiopen_verify(params: Params, transcript: TranscriptRead, queries: list[VerifierQuery]) -> bool:
+    """Mirror of multiopen_prove's Horner folds on commitments/evals."""
     x1 = transcript.squeeze_challenge()
+    x2 = transcript.squeeze_challenge()
     _, by_poly, set_order, sets = _group(queries, key_fn=lambda q: q.name)
 
-    q_commit_terms = []  # per set: list of (commitment, scalar)
+    q_commit_terms = []  # per set: list of (commitment, x1-power scalar)
     q_evals = []
     for pts in set_order:
+        members = sets[pts]
+        count = len(members)
         terms = []
         evals = {p: 0 for p in pts}
-        power = 1
-        for k in sets[pts]:
+        for i, k in enumerate(members):
             info = by_poly[k]
-            terms.append((info["queries"][0].commitment, power))
+            # Horner: member i of `count` carries x1^(count-1-i)
+            terms.append((info["queries"][0].commitment, pow(x1, count - 1 - i, P)))
             ev_by_point = {q.point: q.eval for q in info["queries"]}
             for p in pts:
-                evals[p] = (evals[p] + power * ev_by_point[p]) % P
-            power = power * x1 % P
+                evals[p] = (evals[p] * x1 + ev_by_point[p]) % P
         q_commit_terms.append(terms)
         q_evals.append(evals)
 
-    x2 = transcript.squeeze_challenge()
     f_commitment = transcript.read_point()
     x3 = transcript.squeeze_challenge()
     q_at_x3 = [transcript.read_scalar() for _ in set_order]
     x4 = transcript.squeeze_challenge()
 
-    # f(x3) claim from revealed q evals
+    # f(x3) claim from revealed q evals (Horner in x2, set order)
     f_claim = 0
-    power = 1
     for pts, qe, qv in zip(set_order, q_evals, q_at_x3):
         r = lagrange_interpolate(list(pts), [qe[p] for p in pts])
         r_at = eval_poly_coeffs(r, x3)
         denom = 1
         for p in pts:
             denom = denom * (x3 - p) % P
-        f_claim = (f_claim + power * (qv - r_at) % P * FP.inv(denom)) % P
-        power = power * x2 % P
+        f_claim = (f_claim * x2 + (qv - r_at) * FP.inv(denom)) % P
 
-    # expected commitment and value of the final polynomial
-    pts_scalars: list[tuple[Point, int]] = [(f_commitment, 1)]
-    expected_value = f_claim
-    mult = 1
-    for terms, qv in zip(q_commit_terms, q_at_x3):
-        mult = mult * x4 % P
+    # expected commitment and value of the final polynomial: Horner in x4
+    # starting from f (final = f·x4^K + Σ q_i·x4^(K-1-i))
+    k_sets = len(set_order)
+    pts_scalars: list[tuple[Point, int]] = [(f_commitment, pow(x4, k_sets, P))]
+    expected_value = f_claim * pow(x4, k_sets, P) % P
+    for i, (terms, qv) in enumerate(zip(q_commit_terms, q_at_x3)):
+        mult = pow(x4, k_sets - 1 - i, P)
         for c, s in terms:
             pts_scalars.append((c, s * mult % P))
         expected_value = (expected_value + mult * qv) % P

@@ -449,10 +449,15 @@ def create_proof(
     phase.mark("h commit")
     x = transcript.squeeze_challenge()
 
-    # --- evaluations --------------------------------------------------------
+    # --- evaluations (halo2 0.2.0 write order: instance, advice, fixed,
+    # vanishing random_eval, sigmas, permutation z sets, lookups) -----------
     def rot_point(rot):
         return domain.rotate_point(x, rot)
 
+    instance_evals = {}
+    for col, rot in schedule.instance_queries:
+        instance_evals[(col, rot)] = eval_poly_coeffs(instance_polys[col], rot_point(rot))
+        transcript.write_scalar(instance_evals[(col, rot)])
     advice_evals = {}
     for col, rot in schedule.advice_queries:
         advice_evals[(col, rot)] = eval_poly_coeffs(advice_polys[col], rot_point(rot))
@@ -462,11 +467,23 @@ def create_proof(
         fixed_evals[(col, rot)] = eval_poly_coeffs(fixed_polys[col], rot_point(rot))
         transcript.write_scalar(fixed_evals[(col, rot)])
 
+    # vanishing argument, part 2 (halo2 vanishing/prover.rs evaluate): the h
+    # pieces collapse by x^n into ONE polynomial opened at x; no h evals are
+    # written — the verifier derives the expected h(x) from the identity
+    xn = pow(x, n, P)
+    h_acc = np.zeros(n, dtype=object)
+    h_blind_acc = 0
+    for piece, pblind in zip(reversed(h_pieces), reversed(h_blinds)):
+        arr = np.empty(len(piece), dtype=object)
+        arr[:] = piece
+        h_acc = h_acc * xn % P
+        h_acc[: len(piece)] = (h_acc[: len(piece)] + arr) % P
+        h_blind_acc = (h_blind_acc * xn + pblind) % P
+    h_collapsed = [int(v) for v in h_acc]
+    h_collapsed_eval = eval_poly_coeffs(h_collapsed, x)
+
     random_eval = eval_poly_coeffs(random_poly, x)
     transcript.write_scalar(random_eval)
-    h_evals = [eval_poly_coeffs(piece, x) for piece in h_pieces]
-    for ev in h_evals:
-        transcript.write_scalar(ev)
 
     sigma_evals = [eval_poly_coeffs(p, x) for p in perm.sigma_polys]
     for ev in sigma_evals:
@@ -481,10 +498,12 @@ def create_proof(
         transcript.write_scalar(z_wx)
         entry = {"z": z_x, "z_next": z_wx}
         if c < len(perm_z_polys) - 1:
-            last_ev = eval_poly_coeffs(poly, x_last_rot)
-            transcript.write_scalar(last_ev)
-            entry["last"] = last_ev
+            entry["last"] = eval_poly_coeffs(poly, x_last_rot)
         perm_z_evals.append(entry)
+    # halo2 permutation/prover.rs: the ω^(-(b+1))x evals come AFTER all the
+    # (z@x, z@ωx) pairs, in REVERSE set order skipping the final set
+    for c in range(len(perm_z_polys) - 2, -1, -1):
+        transcript.write_scalar(perm_z_evals[c]["last"])
 
     x_prev = rot_point(-1)
     lookup_evals = []
@@ -501,32 +520,33 @@ def create_proof(
         lookup_evals.append(ev)
 
     phase.mark("evaluations")
-    # --- multiopen + IPA ----------------------------------------------------
+    # --- multiopen + IPA (halo2 prover.rs open order: instance, advice,
+    # permutation sets, lookups, then fixed, sigmas, vanishing h+random) ----
     queries: list[Query] = []
+    for col, rot in schedule.instance_queries:
+        queries.append(Query(instance_polys[col], 0, rot_point(rot), instance_evals[(col, rot)]))
     for col, rot in schedule.advice_queries:
         queries.append(Query(advice_polys[col], advice_blinds[col], rot_point(rot), advice_evals[(col, rot)]))
-    for col, rot in schedule.fixed_queries:
-        queries.append(Query(fixed_polys[col], 0, rot_point(rot), fixed_evals[(col, rot)]))
-    for ci, poly in enumerate(instance_polys):
-        queries.append(Query(poly, 0, x, eval_poly_coeffs(poly, x)))
-    queries.append(Query(random_poly, random_blind, x, random_eval))
-    for piece, blind, ev in zip(h_pieces, h_blinds, h_evals):
-        queries.append(Query(piece, blind, x, ev))
-    for j, poly in enumerate(perm.sigma_polys):
-        queries.append(Query(poly, 0, x, sigma_evals[j]))
     for c, poly in enumerate(perm_z_polys):
         queries.append(Query(poly, perm_z_blinds[c], x, perm_z_evals[c]["z"]))
         queries.append(Query(poly, perm_z_blinds[c], x_next, perm_z_evals[c]["z_next"]))
-        if c < len(perm_z_polys) - 1:
-            queries.append(Query(poly, perm_z_blinds[c], x_last_rot, perm_z_evals[c]["last"]))
+    for c in range(len(perm_z_polys) - 2, -1, -1):
+        queries.append(Query(perm_z_polys[c], perm_z_blinds[c], x_last_rot, perm_z_evals[c]["last"]))
+    # lookup open order (halo2 lookup/prover.rs): z@x, a'@x, s'@x, a'@ω⁻¹x, z@ωx
     for (z_poly, z_blind), (a_poly, a_blind, s_poly, s_blind), ev in zip(
         lookup_z_polys, lookup_perm_polys, lookup_evals
     ):
         queries.append(Query(z_poly, z_blind, x, ev["z"]))
-        queries.append(Query(z_poly, z_blind, x_next, ev["z_next"]))
         queries.append(Query(a_poly, a_blind, x, ev["a_perm"]))
-        queries.append(Query(a_poly, a_blind, x_prev, ev["a_perm_prev"]))
         queries.append(Query(s_poly, s_blind, x, ev["s_perm"]))
+        queries.append(Query(a_poly, a_blind, x_prev, ev["a_perm_prev"]))
+        queries.append(Query(z_poly, z_blind, x_next, ev["z_next"]))
+    for col, rot in schedule.fixed_queries:
+        queries.append(Query(fixed_polys[col], 0, rot_point(rot), fixed_evals[(col, rot)]))
+    for j, poly in enumerate(perm.sigma_polys):
+        queries.append(Query(poly, 0, x, sigma_evals[j]))
+    queries.append(Query(h_collapsed, h_blind_acc, x, h_collapsed_eval))
+    queries.append(Query(random_poly, random_blind, x, random_eval))
 
     phase.mark("query build")
     multiopen_prove(params, transcript, queries, rng)

@@ -60,18 +60,17 @@ def verify_proof(params: Params, vk: VerifyingKey, proof: bytes, instances: list
     h_commitments = [transcript.read_point() for _ in range(num_pieces)]
     x = transcript.squeeze_challenge()
 
-    # --- evaluations --------------------------------------------------------
+    # --- evaluations (halo2 0.2.0 read order) -------------------------------
+    instance_evals = {q: transcript.read_scalar() for q in schedule.instance_queries}
     advice_evals = {q: transcript.read_scalar() for q in schedule.advice_queries}
     fixed_evals = {q: transcript.read_scalar() for q in schedule.fixed_queries}
     random_eval = transcript.read_scalar()
-    h_evals = [transcript.read_scalar() for _ in range(num_pieces)]
     sigma_evals = [transcript.read_scalar() for _ in vk.permutation.sigma_polys]
     perm_z_evals = []
     for c in range(schedule.num_perm_chunks):
-        entry = {"z": transcript.read_scalar(), "z_next": transcript.read_scalar()}
-        if c < schedule.num_perm_chunks - 1:
-            entry["last"] = transcript.read_scalar()
-        perm_z_evals.append(entry)
+        perm_z_evals.append({"z": transcript.read_scalar(), "z_next": transcript.read_scalar()})
+    for c in range(schedule.num_perm_chunks - 2, -1, -1):
+        perm_z_evals[c]["last"] = transcript.read_scalar()
     lookup_evals = []
     for _ in cs.lookups:
         lookup_evals.append(
@@ -83,8 +82,6 @@ def verify_proof(params: Params, vk: VerifyingKey, proof: bytes, instances: list
                 "s_perm": transcript.read_scalar(),
             }
         )
-
-    instance_evals = [eval_poly_coeffs(poly, x) for poly in instance_polys]
 
     # --- constraint identity at x ------------------------------------------
     def cell_fn(column, rot):
@@ -127,7 +124,7 @@ def verify_proof(params: Params, vk: VerifyingKey, proof: bytes, instances: list
             elif col.kind == ColumnType.FIXED:
                 v = fixed_evals[(col.index, 0)]
             else:
-                v = instance_evals[col.index]
+                v = instance_evals[(col.index, 0)]
             entry["cols"].append((v, sigma_evals[j], j))
         chunks_data.append(entry)
     if chunks_data:
@@ -147,18 +144,22 @@ def verify_proof(params: Params, vk: VerifyingKey, proof: bytes, instances: list
     agg = 0
     for term in terms:
         agg = (agg * y + term) % P
+    # vanishing argument (halo2 0.2.0 vanishing/verifier.rs): the expected
+    # h(x) is DERIVED from the identity and bound through the multiopen
+    # query on the x^n-collapsed h commitment — there is no separate
+    # identity-at-x equality to check early
     xn = pow(x, n, P)
-    h_at_x = 0
-    xni = 1
-    for ev in h_evals:
-        h_at_x = (h_at_x + xni * ev) % P
-        xni = xni * xn % P
-    if agg != h_at_x * (xn - 1) % P:
-        if os.environ.get("BZ_VERIFY_TRACE"):
-            print("[verify] FAIL: gate/permutation/lookup identity at x", flush=True)
-        return False
+    expected_h_eval = agg * FP.inv((xn - 1) % P) % P
+    h_collapsed_commitment: Point = None
+    for c in reversed(h_commitments):
+        h_collapsed_commitment = VESTA.add(
+            VESTA.mul(h_collapsed_commitment, xn) if h_collapsed_commitment else None, c
+        )
+    if os.environ.get("BZ_VERIFY_TRACE"):
+        print(f"[verify] expected h(x) = {hex(expected_h_eval)} (identity failures surface as multiopen failures)", flush=True)
 
-    # --- multiopen ----------------------------------------------------------
+    # --- multiopen (halo2 verifier.rs query order: instance, advice,
+    # permutation sets, lookups, fixed, sigmas, vanishing h+random) ----------
     def rot_point(rot):
         return domain.rotate_point(x, rot)
 
@@ -167,31 +168,32 @@ def verify_proof(params: Params, vk: VerifyingKey, proof: bytes, instances: list
     x_last_rot = domain.rotate_point(x, usable)
 
     queries: list[VerifierQuery] = []
+    for col, rot in schedule.instance_queries:
+        queries.append(VerifierQuery(("instance", col), instance_commitments[col], rot_point(rot), instance_evals[(col, rot)]))
     for col, rot in schedule.advice_queries:
         queries.append(VerifierQuery(("advice", col), advice_commitments[col], rot_point(rot), advice_evals[(col, rot)]))
-    for col, rot in schedule.fixed_queries:
-        queries.append(VerifierQuery(("fixed", col), vk.fixed_commitments[col], rot_point(rot), fixed_evals[(col, rot)]))
-    for ci, poly in enumerate(instance_polys):
-        queries.append(VerifierQuery(("instance", ci), instance_commitments[ci], x, instance_evals[ci]))
-    queries.append(VerifierQuery(("random",), random_commitment, x, random_eval))
-    for i, c in enumerate(h_commitments):
-        queries.append(VerifierQuery(("h", i), c, x, h_evals[i]))
-    for j, c in enumerate(vk.permutation.sigma_commitments):
-        queries.append(VerifierQuery(("sigma", j), c, x, sigma_evals[j]))
     for c_idx, c in enumerate(perm_z_commitments):
         queries.append(VerifierQuery(("perm_z", c_idx), c, x, perm_z_evals[c_idx]["z"]))
         queries.append(VerifierQuery(("perm_z", c_idx), c, x_next, perm_z_evals[c_idx]["z_next"]))
-        if c_idx < schedule.num_perm_chunks - 1:
-            queries.append(VerifierQuery(("perm_z", c_idx), c, x_last_rot, perm_z_evals[c_idx]["last"]))
+    for c_idx in range(schedule.num_perm_chunks - 2, -1, -1):
+        queries.append(
+            VerifierQuery(("perm_z", c_idx), perm_z_commitments[c_idx], x_last_rot, perm_z_evals[c_idx]["last"])
+        )
     for li in range(len(cs.lookups)):
         zc = lookup_z_commitments[li]
         ac, sc = lookup_perm_commitments[li]
         ev = lookup_evals[li]
         queries.append(VerifierQuery(("lk_z", li), zc, x, ev["z"]))
-        queries.append(VerifierQuery(("lk_z", li), zc, x_next, ev["z_next"]))
         queries.append(VerifierQuery(("lk_a", li), ac, x, ev["a_perm"]))
-        queries.append(VerifierQuery(("lk_a", li), ac, x_prev, ev["a_perm_prev"]))
         queries.append(VerifierQuery(("lk_s", li), sc, x, ev["s_perm"]))
+        queries.append(VerifierQuery(("lk_a", li), ac, x_prev, ev["a_perm_prev"]))
+        queries.append(VerifierQuery(("lk_z", li), zc, x_next, ev["z_next"]))
+    for col, rot in schedule.fixed_queries:
+        queries.append(VerifierQuery(("fixed", col), vk.fixed_commitments[col], rot_point(rot), fixed_evals[(col, rot)]))
+    for j, c in enumerate(vk.permutation.sigma_commitments):
+        queries.append(VerifierQuery(("sigma", j), c, x, sigma_evals[j]))
+    queries.append(VerifierQuery(("h",), h_collapsed_commitment, x, expected_h_eval))
+    queries.append(VerifierQuery(("random",), random_commitment, x, random_eval))
 
     if not multiopen_verify(params, transcript, queries):
         if os.environ.get("BZ_VERIFY_TRACE"):
