@@ -83,8 +83,10 @@ def _rng():
     return _SecretsRng()
 
 
-def prove_board(ships: list, trapdoor: int | None = None) -> BoardProof:
-    """ships: 5 optional (x, y, z) tuples (circuit_wasm.rs:34-85)."""
+def prove_board(ships: list, trapdoor: int | None = None, rng=None) -> BoardProof:
+    """ships: 5 optional (x, y, z) tuples (circuit_wasm.rs:34-85). ``rng``
+    (blinding randomness) defaults to a secrets-backed source; inject a
+    seeded rng for bit-reproducible proofs (determinism tests)."""
     from .utils.pedersen import pedersen_commit
 
     board = Board.from_deck(Deck.from_placements(ships))
@@ -94,7 +96,7 @@ def prove_board(ships: list, trapdoor: int | None = None) -> BoardProof:
     commitment = pedersen_commit(state.to_fp(), trapdoor)
     params, pk = _board_keys()
     circuit = BoardCircuit(board.witness(), state, trapdoor)
-    proof = create_proof(params, pk, circuit, [[commitment[0], commitment[1]]], _rng())
+    proof = create_proof(params, pk, circuit, [[commitment[0], commitment[1]]], rng or _rng())
     return BoardProof(commitment=commitment, proof=proof)
 
 
@@ -112,14 +114,16 @@ class ShotProof:
     proof: bytes
 
 
-def prove_shot(board_state: BinaryValue, trapdoor: int, shot_xy: tuple, hit: bool) -> ShotProof:
+def prove_shot(
+    board_state: BinaryValue, trapdoor: int, shot_xy: tuple, hit: bool, rng=None
+) -> ShotProof:
     """Prove a hit/miss assertion against a committed board
     (circuit_wasm.rs:115-169)."""
     shot = serialize([shot_xy[0]], [shot_xy[1]])
     circuit = ShotCircuit(board_state, trapdoor, shot, BinaryValue(1 if hit else 0))
     params, pk = _shot_keys()
     instance = circuit.public_instance()
-    proof = create_proof(params, pk, circuit, [instance], _rng())
+    proof = create_proof(params, pk, circuit, [instance], rng or _rng())
     return ShotProof(
         commitment=(instance[0], instance[1]), shot=instance[2], hit=instance[3], proof=proof
     )
@@ -148,19 +152,41 @@ def prove_session(
     shots_per_game: int = 8,
     trapdoors: list | None = None,
     workers: int | None = None,
+    dp_devices: list | int | None = None,
+    seed: int | None = None,
 ) -> GameSession:
     """games: list of 5-ship placement lists. Produces one board proof per
     game plus `shots_per_game` shot proofs against each committed board.
 
-    ``workers > 1`` pipelines the independent proofs across a thread pool
-    (the proof-batch PP axis, SURVEY §2.3): device dispatches release the
-    GIL, so one proof's host phases (synthesis, transcript, grand products)
-    overlap another's device phases (NTT batches, MSM commits, quotient).
-    Default 1 (BZ_SESSION_WORKERS env overrides)."""
+    Parallel axes (SURVEY §2.3):
+    * ``workers > 1`` pipelines the independent proofs across a thread pool
+      (the proof-batch PP axis): device dispatches release the GIL, so one
+      proof's host phases overlap another's device phases. Default 1
+      (BZ_SESSION_WORKERS env overrides).
+    * ``dp_devices`` enables DATA-parallel proving: each worker's device
+      work is pinned round-robin onto one of the given jax devices (an int
+      selects the first N local devices; BZ_SESSION_DP env overrides). DP
+      proofs are bit-identical to sequential ones for the same seed
+      (tests/test_parallel.py).
+    * ``seed`` derives a per-job blinding rng (deterministic sessions);
+      None keeps secrets-backed blinding.
+    """
     import os
+    import random as _random
+
+    import jax as _jax
 
     if workers is None:
         workers = int(os.environ.get("BZ_SESSION_WORKERS", "1"))
+    if dp_devices is None and os.environ.get("BZ_SESSION_DP"):
+        dp_devices = int(os.environ["BZ_SESSION_DP"])
+    if isinstance(dp_devices, int):
+        dp_devices = _jax.devices()[:dp_devices]
+    if dp_devices:
+        workers = max(workers, len(dp_devices))
+
+    def job_rng(idx: int):
+        return _random.Random(f"bz-session:{seed}:{idx}") if seed is not None else _rng()
 
     board_jobs = []  # (ships, trapdoor)
     shot_jobs = []  # (state, trapdoor, xy, hit)
@@ -178,15 +204,28 @@ def prove_session(
     if shot_jobs:
         _shot_keys()
 
+    def run_board(idx, job):
+        ships, t = job
+        if dp_devices:
+            with _jax.default_device(dp_devices[idx % len(dp_devices)]):
+                return prove_board(ships, t, rng=job_rng(idx))
+        return prove_board(ships, t, rng=job_rng(idx))
+
+    def run_shot(idx, job):
+        if dp_devices:
+            with _jax.default_device(dp_devices[idx % len(dp_devices)]):
+                return prove_shot(*job, rng=job_rng(1_000_000 + idx))
+        return prove_shot(*job, rng=job_rng(1_000_000 + idx))
+
     if workers <= 1:
-        board_proofs = [prove_board(s, t) for s, t in board_jobs]
-        shot_proofs = [prove_shot(*job) for job in shot_jobs]
+        board_proofs = [run_board(i, j) for i, j in enumerate(board_jobs)]
+        shot_proofs = [run_shot(i, j) for i, j in enumerate(shot_jobs)]
     else:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=workers) as pool:
-            bf = [pool.submit(prove_board, s, t) for s, t in board_jobs]
-            sf = [pool.submit(prove_shot, *job) for job in shot_jobs]
+            bf = [pool.submit(run_board, i, j) for i, j in enumerate(board_jobs)]
+            sf = [pool.submit(run_shot, i, j) for i, j in enumerate(shot_jobs)]
             board_proofs = [f.result() for f in bf]
             shot_proofs = [f.result() for f in sf]
     return GameSession(board_proofs, shot_proofs)

@@ -129,8 +129,16 @@ def cached_params(k: int) -> Params:
 
 
 def commit(params: Params, coeffs: list[int], blind: int) -> Point:
-    """<coeffs, G> + [blind] W — one device MSM."""
+    """<coeffs, G> + [blind] W — one device MSM. With an active mesh
+    (parallel/context.py) the MSM is TP-sharded over the mesh axis."""
     assert len(coeffs) <= params.n
+    from ..parallel.context import get_mesh, mesh_is_active
+
+    if mesh_is_active():
+        from ..parallel.msm import sharded_msm_many
+
+        scalars = list(coeffs) + [0] * (params.n - len(coeffs)) + [blind]
+        return sharded_msm_many(VESTA, params.g + [params.w], [scalars], get_mesh())[0]
     points = params.g[: len(coeffs)] + [params.w]
     scalars = list(coeffs) + [blind]
     return msm(VESTA, points, scalars)
@@ -138,7 +146,7 @@ def commit(params: Params, coeffs: list[int], blind: int) -> Point:
 
 def commit_many(params: Params, polys: list, blinds: list) -> list[Point]:
     """Commit a batch of polynomials in ONE vmapped device MSM over the
-    shared [G | W] point set."""
+    shared [G | W] point set; TP-sharded under an active mesh."""
     from ..ops.msm import msm_many
 
     assert len(polys) == len(blinds)
@@ -146,6 +154,12 @@ def commit_many(params: Params, polys: list, blinds: list) -> list[Point]:
         return []
     points = params.g + [params.w]
     scalars_list = [list(p) + [0] * (params.n - len(p)) + [b] for p, b in zip(polys, blinds)]
+    from ..parallel.context import get_mesh, mesh_is_active
+
+    if mesh_is_active():
+        from ..parallel.msm import sharded_msm_many
+
+        return sharded_msm_many(VESTA, points, scalars_list, get_mesh())
     return msm_many(VESTA, points, scalars_list)
 
 

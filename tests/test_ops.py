@@ -181,6 +181,13 @@ class TestSignedMsm:
                 v = sum(int(d[w, i]) << (c * w) for w in range(d.shape[0]))
                 assert v == s
 
+    @pytest.mark.skipif(
+        not SLOW,
+        reason="XLA-CPU compile of the signed Pippenger graph is pathological "
+        "(>20 min, ~20 GB RSS — the unrolled limb scan bodies blow up the CPU "
+        "backend's optimizer); the graph compiles in ~2 min on the real TPU and "
+        "is exercised there by bench.py's correctness gate. BZ_RUN_SLOW=1 runs it.",
+    )
     @pytest.mark.parametrize("c", [10, 13])
     def test_signed_device_msm_vs_host(self, c):
         import jax.numpy as jnp
