@@ -23,11 +23,24 @@ _tried = False
 FIELD_FP = 0  # Pallas base / Vesta scalar
 FIELD_FQ = 1  # Vesta base / Pallas scalar
 
+_FP_MODULUS = 0x40000000000000000000000000000000224698FC094CF91B992D30ED00000001
+_FQ_MODULUS = 0x40000000000000000000000000000000224698FC0994A8DD8C46EB2100000001
+
+
+def which_for(modulus: int) -> int:
+    """Map a base-field modulus to the FieldCtx selector (guards against
+    the FP/FQ mixup: Vesta POINTS live over FQ)."""
+    if modulus == _FP_MODULUS:
+        return FIELD_FP
+    if modulus == _FQ_MODULUS:
+        return FIELD_FQ
+    raise ValueError(f"not a Pasta modulus: {hex(modulus)}")
+
 
 def _build() -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", str(_SRC), "-o", str(_LIB)],
+            ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC", str(_SRC), "-o", str(_LIB)],
             check=True,
             capture_output=True,
             timeout=300,

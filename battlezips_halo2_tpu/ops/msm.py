@@ -579,14 +579,19 @@ def _compiled_msm_batch(
 
 
 def msm_many(
-    curve: Curve, points, scalars_list, c: int | None = None, force_device: bool = False
+    curve: Curve,
+    points,
+    scalars_list,
+    c: int | None = None,
+    force_device: bool = False,
+    prefer_host: bool = False,
 ):
     """Batched MSM: many scalar vectors over one shared point set, one
     device dispatch. Returns a list of affine results."""
     if not scalars_list:
         return []
-    if not force_device and not device_backend_is_tpu():
-        return [curve.pippenger(points, s) for s in scalars_list]
+    if prefer_host or (not force_device and not device_backend_is_tpu()):
+        return [host_msm(curve, points, s) for s in scalars_list]
     n0 = len(points)
     target = max(64, 1 << (n0 - 1).bit_length())
     if c is None:
@@ -640,20 +645,43 @@ def device_backend_is_tpu() -> bool:
         return False
 
 
-def msm(curve: Curve, points, scalars, c: int | None = None, force_device: bool = False):
+def host_msm(curve: Curve, points, scalars):
+    """Host MSM: the native C++ Pippenger (csrc/pasta.cpp — mixed affine
+    bucket adds, adaptive windows, OpenMP over windows) when available, the
+    exact Python Pippenger otherwise. The LATENCY path: each call is ~ms,
+    with no relay round trip — used for the IPA's Fiat-Shamir-sequential
+    L/R rounds and the verifier's final MSM."""
+    from .. import native
+
+    if native.available() and points:
+        which = native.which_for(curve.base.modulus)
+        return native.msm(which, list(points), [s % curve.scalar.modulus for s in scalars])
+    return curve.pippenger(points, scalars)
+
+
+def msm(
+    curve: Curve,
+    points,
+    scalars,
+    c: int | None = None,
+    force_device: bool = False,
+    prefer_host: bool = False,
+):
     """Host-facing MSM: affine points (None = identity) x int scalars ->
     affine result.
 
     Dispatches to the device Pippenger kernel on real accelerators (or when
-    forced); small problems on the CPU test backend use the exact host
-    Pippenger — the device kernel's sequential scan depth is constant in n,
-    so tiny MSMs gain nothing from it. Window size and signed-digit use are
-    auto-picked from the problem size (auto_window) unless c is given."""
+    forced); small problems on the CPU test backend — and latency-critical
+    call sites passing ``prefer_host`` — use the native/exact host Pippenger
+    (host_msm): the device kernel's sequential scan depth is constant in n,
+    so tiny MSMs gain nothing from a ~100 ms relay round trip. Window size
+    and signed-digit use are auto-picked from the problem size (auto_window)
+    unless c is given."""
     assert len(points) == len(scalars)
     if not points:
         return None
-    if not force_device and (not device_backend_is_tpu()) :
-        return curve.pippenger(points, scalars)
+    if prefer_host or (not force_device and (not device_backend_is_tpu())):
+        return host_msm(curve, points, scalars)
     # pad to a power of two (min 64) so arbitrary problem sizes share a small
     # set of compiled kernels (zero scalars land in the discarded 0-bucket)
     target = max(64, 1 << (len(points) - 1).bit_length())

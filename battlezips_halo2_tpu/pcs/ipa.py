@@ -3,15 +3,14 @@
 Framework analog of ``halo2_proofs::poly::commitment`` (SURVEY.md §2.2 "IPA
 commitment scheme"): deterministic SRS, blinded Pedersen vector commitments
 (every commitment is one device MSM), and the log-n inner-product opening
-argument with Bulletproofs-style folding:
+argument in halo2 0.2.0's exact shape (synthetic-blinding S commitment,
+xi/z challenges, asymmetric folds -- see create_open_proof /
+verify_open_proof docstrings for the round equations).
 
-    round j:  L_j = <a_lo, G_hi> + [<a_lo, b_hi>] U + [l_j] W
-              R_j = <a_hi, G_lo> + [<a_hi, b_lo>] U + [r_j] W
-              a' = u a_lo + u^-1 a_hi ;  G' = u^-1 G_lo + u G_hi ;
-              b' = u^-1 b_lo + u b_hi
-
-    final check: [a0] G_fin + [a0 * b_fin] U' + [r_fin] W
-                   == P + [v] U' + sum_j ([u_j^2] L_j + [u_j^-2] R_j)
+Commitments ride the TPU (batched device MSMs, mesh-sharded under an
+active parallel/context mesh); the Fiat-Shamir-SEQUENTIAL inner-product
+rounds ride the native C++ host Pippenger (prefer_host): each round would
+otherwise pay a full relay round trip.
 
 SRS derivation follows halo2 0.2.0 (hash_to_curve("Halo2-Parameters") on
 Vesta via the from-scratch SSWU in curves/hashtocurve.py); a documented
@@ -250,9 +249,14 @@ def create_open_proof(
         hi_mask = pos >= half
         v_l = np.where(~hi_mask, c_coeff * p_prime[np.where(~hi_mask, pos + half, 0)] % m, 0)
         v_r = np.where(hi_mask, c_coeff * p_prime[np.where(hi_mask, pos - half, 0)] % m, 0)
-        base_l, base_r = msm_many(VESTA, params.g, [[int(t) for t in v_l], [int(t) for t in v_r]])
-        L = VESTA.add(base_l, VESTA.add(VESTA.mul(params.u, value_l * z % m), VESTA.mul(params.w, l_rand)))
-        R = VESTA.add(base_r, VESTA.add(VESTA.mul(params.u, value_r * z % m), VESTA.mul(params.w, r_rand)))
+        # Fiat-Shamir forces these log-n rounds to be SEQUENTIAL, so each
+        # L/R pays full dispatch latency — the native host Pippenger
+        # (prefer_host) computes them in ~ms with zero relay round trips
+        base_l, base_r = msm_many(
+            VESTA, params.g, [[int(t) for t in v_l], [int(t) for t in v_r]], prefer_host=True
+        )
+        L = msm(VESTA, [base_l, params.u, params.w], [1, value_l * z % m, l_rand], prefer_host=True)
+        R = msm(VESTA, [base_r, params.u, params.w], [1, value_r * z % m, r_rand], prefer_host=True)
         transcript.write_point(L)
         transcript.write_point(R)
         u = transcript.squeeze_challenge_nonzero()
@@ -323,12 +327,12 @@ def verify_open_proof(
         half //= 2
 
     lhs_scalars = [int(v) for v in a0 * s % m] + [a0 * b_final % m * z % m, f_final]
-    lhs = msm(VESTA, params.g + [params.u, params.w], lhs_scalars)
+    lhs = msm(VESTA, params.g + [params.u, params.w], lhs_scalars, prefer_host=True)
 
     rhs_pts = [commitment, params.g[0], s_commitment]
     rhs_scalars = [1, (-value) % m, xi]
     for L, R, u in zip(ls, rs, us):
         rhs_pts += [L, R]
         rhs_scalars += [FP.inv(u), u]
-    rhs = msm(VESTA, rhs_pts, rhs_scalars)
+    rhs = msm(VESTA, rhs_pts, rhs_scalars, prefer_host=True)
     return lhs == rhs

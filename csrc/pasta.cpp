@@ -273,6 +273,51 @@ static void pt_add(const FieldCtx* c, Pt& out, const Pt& p, const Pt& q) {
     fe_mul(c, out.z, out.z, h);
 }
 
+// Mixed addition: q is an affine Montgomery point (z = 1, not identity).
+// ~8 muls vs pt_add's ~16 — the bucket-accumulation workhorse. All
+// intermediates are locals, so out may alias p.
+static void pt_add_mixed(const FieldCtx* c, Pt& out, const Pt& p, const Fe& qx, const Fe& qy) {
+    if (fe_is_zero(p.z)) {
+        out.x = qx;
+        out.y = qy;
+        out.z = c->one;
+        return;
+    }
+    Fe z1z1, u2, s2, h, r;
+    fe_sqr(c, z1z1, p.z);
+    fe_mul(c, u2, qx, z1z1);
+    fe_mul(c, s2, qy, p.z);
+    fe_mul(c, s2, s2, z1z1);
+    fe_sub(c, h, u2, p.x);
+    fe_sub(c, r, s2, p.y);
+    if (fe_is_zero(h)) {
+        if (fe_is_zero(r)) {
+            pt_double(c, out, p);
+            return;
+        }
+        pt_identity(out);
+        return;
+    }
+    Fe hh, hhh, v, t, r2;
+    fe_sqr(c, hh, h);
+    fe_mul(c, hhh, hh, h);
+    fe_mul(c, v, p.x, hh);
+    fe_sqr(c, r2, r);
+    fe_sub(c, r2, r2, hhh);
+    fe_add(c, t, v, v);
+    Fe ox, oy, oz;
+    fe_sub(c, ox, r2, t);
+    fe_sub(c, t, v, ox);
+    fe_mul(c, t, r, t);
+    Fe s1hhh;
+    fe_mul(c, s1hhh, p.y, hhh);
+    fe_sub(c, oy, t, s1hhh);
+    fe_mul(c, oz, p.z, h);
+    out.x = ox;
+    out.y = oy;
+    out.z = oz;
+}
+
 static void pt_to_affine(const FieldCtx* c, Fe& ax, Fe& ay, const Pt& p) {
     if (fe_is_zero(p.z)) { std::memset(&ax, 0, sizeof(Fe)); std::memset(&ay, 0, sizeof(Fe)); return; }
     Fe zi, zi2, zi3;
@@ -327,39 +372,59 @@ void pasta_inv_batch(int which, const uint8_t* a, uint8_t* out, int64_t n) {
 // n*32 bytes plain LE; out: 64 bytes affine.
 void pasta_msm(int which, const uint8_t* points, const uint8_t* scalars, uint8_t* out, int64_t n) {
     const FieldCtx* c = ctx_for(which);
-    const int C_BITS = 8;
-    const int N_WINDOWS = 32;
-    std::vector<Pt> pts(n);
+    // adaptive window: c ~ log2(n) - 3, clamped (bucket fold is 2*2^c adds
+    // per window; point adds are n per window); mixed affine adds in the
+    // buckets; windows are independent, so they parallelize over OpenMP
+    // threads with one Horner fold (doublings) at the end.
+    int c_bits = 4;
+    while ((int64_t)1 << (c_bits + 3) < n && c_bits < 14) ++c_bits;
+    const int n_windows = (256 + c_bits - 1) / c_bits;
+
+    std::vector<Fe> px((size_t)n), py((size_t)n);
+    std::vector<uint8_t> inf((size_t)n);
     for (int64_t i = 0; i < n; ++i) {
         Fe x, y;
         std::memcpy(&x, points + 64 * i, 32);
         std::memcpy(&y, points + 64 * i + 32, 32);
-        if (fe_is_zero(x) && fe_is_zero(y)) {
-            pt_identity(pts[i]);
-        } else {
-            fe_to_mont(c, pts[i].x, x);
-            fe_to_mont(c, pts[i].y, y);
-            pts[i].z = c->one;
+        inf[i] = fe_is_zero(x) && fe_is_zero(y);
+        if (!inf[i]) {
+            fe_to_mont(c, px[i], x);
+            fe_to_mont(c, py[i], y);
         }
     }
-    Pt acc;
-    pt_identity(acc);
-    std::vector<Pt> buckets(1 << C_BITS);
-    for (int w = N_WINDOWS - 1; w >= 0; --w) {
-        for (int d = 0; d < C_BITS; ++d) pt_double(c, acc, acc);
+
+    std::vector<Pt> wsums(n_windows);
+    const uint32_t mask = (1u << c_bits) - 1;
+#pragma omp parallel for schedule(dynamic, 1)
+    for (int w = 0; w < n_windows; ++w) {
+        std::vector<Pt> buckets((size_t)1 << c_bits);
         for (auto& bkt : buckets) pt_identity(bkt);
+        const int bit = w * c_bits;
+        const int byte = bit >> 3;
+        const int off = bit & 7;
+        const int span = byte > 28 ? 32 - byte : 4;  // enough for off + c_bits <= 21 bits
         for (int64_t i = 0; i < n; ++i) {
-            uint8_t digit = scalars[32 * i + w];  // c=8: digits are bytes
-            if (digit) pt_add(c, buckets[digit], buckets[digit], pts[i]);
+            if (inf[i]) continue;
+            uint32_t chunk = 0;
+            std::memcpy(&chunk, scalars + 32 * i + byte, span);
+            uint32_t d = (chunk >> off) & mask;
+            if (d) pt_add_mixed(c, buckets[d], buckets[d], px[i], py[i]);
         }
         Pt running, wsum;
         pt_identity(running);
         pt_identity(wsum);
-        for (int b = (1 << C_BITS) - 1; b >= 1; --b) {
+        for (int b = (1 << c_bits) - 1; b >= 1; --b) {
             pt_add(c, running, running, buckets[b]);
             pt_add(c, wsum, wsum, running);
         }
-        pt_add(c, acc, acc, wsum);
+        wsums[w] = wsum;
+    }
+
+    Pt acc;
+    pt_identity(acc);
+    for (int w = n_windows - 1; w >= 0; --w) {
+        for (int d = 0; d < c_bits; ++d) pt_double(c, acc, acc);
+        pt_add(c, acc, acc, wsums[w]);
     }
     Fe ax, ay;
     pt_to_affine(c, ax, ay, acc);

@@ -111,9 +111,11 @@ def test_dp_pinned_proofs_bit_identical():
 
     base = prove_on(None)
     devs = jax.devices()
-    assert len(devs) >= 4
-    with ThreadPoolExecutor(max_workers=4) as pool:
-        results = [f.result() for f in [pool.submit(prove_on, devs[i]) for i in range(4)]]
+    assert len(devs) >= 2
+    # two pinned devices keep the point made while bounding CPU-tier compile
+    # cost (every jitted prover graph recompiles per device placement)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        results = [f.result() for f in [pool.submit(prove_on, devs[i]) for i in range(2)]]
     assert all(r == base for r in results)
     assert verify_proof(params, pk.vk, base, [[15]])
 
