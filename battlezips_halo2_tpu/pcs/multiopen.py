@@ -212,7 +212,9 @@ def multiopen_verify(params: Params, transcript: TranscriptRead, queries: list[V
             pts_scalars.append((c, s * mult % P))
         expected_value = (expected_value + mult * qv) % P
 
-    acc: Point = None
-    for c, s in pts_scalars:
-        acc = VESTA.add(acc, VESTA.mul(c, s))
+    from ..ops.msm import msm as _msm
+
+    acc = _msm(
+        VESTA, [c for c, _ in pts_scalars], [s for _, s in pts_scalars], prefer_host=True
+    )
     return verify_open_proof(params, transcript, acc, x3, expected_value)

@@ -150,11 +150,12 @@ def verify_proof(params: Params, vk: VerifyingKey, proof: bytes, instances: list
     # identity-at-x equality to check early
     xn = pow(x, n, P)
     expected_h_eval = agg * FP.inv((xn - 1) % P) % P
-    h_collapsed_commitment: Point = None
-    for c in reversed(h_commitments):
-        h_collapsed_commitment = VESTA.add(
-            VESTA.mul(h_collapsed_commitment, xn) if h_collapsed_commitment else None, c
-        )
+    from ..ops.msm import msm as _msm
+
+    xni = [1] * len(h_commitments)
+    for i in range(1, len(h_commitments)):
+        xni[i] = xni[i - 1] * xn % P
+    h_collapsed_commitment = _msm(VESTA, h_commitments, xni, prefer_host=True)
     if os.environ.get("BZ_VERIFY_TRACE"):
         print(f"[verify] expected h(x) = {hex(expected_h_eval)} (identity failures surface as multiopen failures)", flush=True)
 
