@@ -106,13 +106,13 @@ import os
 from .dispatch import device_call
 
 _PALLAS_MSM = os.environ.get("BZ_PALLAS_MSM", "") not in ("", "0")
-# fused transposed-layout scan step (pallas_kernels.msm_step_T): the
-# microbenchmark (tools/exp_step_t.py) measured ~4-7x per-row vs the jnp
-# chunk path, but the INTEGRATED bench regressed (2^14: 1.07 s vs 0.41 s
-# jnp — the per-step transposes/scatters around the kernel dominate), so
-# the path is OPT-IN (BZ_PALLAS_MSM_T=1) until the transposed layout is
-# carried through the whole bucket pipeline.
-_PALLAS_MSM_T = os.environ.get("BZ_PALLAS_MSM_T", "") not in ("", "0")
+# fused transposed-layout scan step (pallas_kernels.msm_step_T): DEFAULT ON
+# for the TPU backend. Honest bench (fresh digit values, 4 MSMs chained per
+# dispatch, BENCH_NOTES.md): 2^18 = 310.8K pts/s (0.84 s/msm) fused vs
+# 187.3K (1.40 s) jnp — 1.66x; profiler full @2^14: 94 ms vs 163 ms.
+# (An earlier "regression" reading was relay-degraded noise.)
+# BZ_NO_PALLAS_MSM_T=1 opts out.
+_PALLAS_MSM_T = os.environ.get("BZ_NO_PALLAS_MSM_T", "") in ("", "0")
 
 
 def _use_fused_T() -> bool:
@@ -243,9 +243,24 @@ def _msm_device_wsums(
         # 2N rows: [P | -P]) — sign handling costs zero per-row field math
         mag = jnp.abs(digits.astype(jnp.int32))
         sgn = (digits < 0).astype(jnp.int32)
-        payload = (sgn << idx_bits) | jnp.arange(n, dtype=jnp.int32)
-        k_sw, pay_s = jax.lax.sort([mag, payload], dimension=1, num_keys=1)
-        order_w = (pay_s & ((1 << idx_bits) - 1)) + (pay_s >> idx_bits) * n
+        if c + 1 + idx_bits <= 32:
+            # pack (mag | sign | idx) into ONE uint32 key: the sort is the
+            # dominant MSM phase on TPU, and a single-array sort moves half
+            # the bytes of the [key, payload] two-array form
+            key = (
+                (mag.astype(jnp.uint32) << (idx_bits + 1))
+                | (sgn.astype(jnp.uint32) << idx_bits)
+                | jnp.arange(n, dtype=jnp.uint32)
+            )
+            key_s = jax.lax.sort(key, dimension=1)
+            k_sw = (key_s >> (idx_bits + 1)).astype(jnp.int32)
+            order_w = (
+                (key_s & ((1 << idx_bits) - 1)) + ((key_s >> idx_bits) & 1) * n
+            ).astype(jnp.int32)
+        else:
+            payload = (sgn << idx_bits) | jnp.arange(n, dtype=jnp.int32)
+            k_sw, pay_s = jax.lax.sort([mag, payload], dimension=1, num_keys=1)
+            order_w = (pay_s & ((1 << idx_bits) - 1)) + (pay_s >> idx_bits) * n
     else:
         # digit and point index packed into ONE int32 key (digit in the
         # high bits) so the sort moves half the payload of a key-value sort

@@ -218,3 +218,43 @@ class TestSignedMsm:
         if not bool(np.asarray(coll)):
             got_i = M.host_window_fold(VESTA, jacobian_to_affine_host(spec, wsums_i), c)
             assert got_i == want
+
+
+def test_signed_packed_sort_matches_two_array():
+    """The single-uint32 packed (mag|sign|idx) sort used when c+1+idx_bits
+    <= 32 yields the same per-(window, bucket) row sets and sorted keys as
+    the two-array [mag, payload] sort (pure index logic — validates the
+    packing without compiling any point-op graph)."""
+    import jax
+    import jax.numpy as jnp
+
+    from battlezips_halo2_tpu.ops import msm as M
+
+    rng = random.Random(0)
+    for n, c in ((256, 10), (1024, 13)):
+        sc = [rng.randrange(1 << 255) for _ in range(n)]
+        digits = jnp.asarray(M.scalars_to_signed_digits(sc, c))
+        idx_bits = max(1, (n - 1).bit_length())
+        assert c + 1 + idx_bits <= 32
+        mag = jnp.abs(digits.astype(jnp.int32))
+        sgn = (digits < 0).astype(jnp.int32)
+        key = (
+            (mag.astype(jnp.uint32) << (idx_bits + 1))
+            | (sgn.astype(jnp.uint32) << idx_bits)
+            | jnp.arange(n, dtype=jnp.uint32)
+        )
+        key_s = jax.lax.sort(key, dimension=1)
+        k1 = np.asarray((key_s >> (idx_bits + 1)).astype(jnp.int32))
+        o1 = np.asarray(((key_s & ((1 << idx_bits) - 1)) + ((key_s >> idx_bits) & 1) * n))
+        payload = (sgn << idx_bits) | jnp.arange(n, dtype=jnp.int32)
+        k2, pay_s = jax.lax.sort([mag, payload], dimension=1, num_keys=1)
+        o2 = np.asarray((pay_s & ((1 << idx_bits) - 1)) + (pay_s >> idx_bits) * n)
+        assert (k1 == np.asarray(k2)).all()
+        for w in range(digits.shape[0]):
+            by_bucket_1: dict = {}
+            by_bucket_2: dict = {}
+            for a, b in zip(k1[w], o1[w]):
+                by_bucket_1.setdefault(int(a), set()).add(int(b))
+            for a, b in zip(np.asarray(k2)[w], o2[w]):
+                by_bucket_2.setdefault(int(a), set()).add(int(b))
+            assert by_bucket_1 == by_bucket_2
