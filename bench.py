@@ -32,6 +32,19 @@ REF_CPU_SESSION_PPS = 0.9  # anchor: session proofs/s implied by the proof ancho
 
 
 def bench_msm(log_size: int, iters: int):
+    """North-star MSM bench with DEVICE-RESIDENT scalars.
+
+    The points and one base scalar vector upload once; every timed variant
+    is derived IN-GRAPH (scalars_k = base * rho^k via a device field mul,
+    signed digits via signed_digits_device) — matching the production
+    prover, whose commit scalars are NTT outputs already living on device.
+    Uploading per-variant digit arrays instead costs ~0.4 s/MSM of pure
+    relay transfer at 2^18 and would dominate the measurement
+    (BENCH_NOTES.md).
+
+    Correctness gate: the K variant results are folded on device; their sum
+    must equal one host MSM over per-point collapsed scalars
+    base_i * sum_k rho^k (native C++ Pippenger when available)."""
     import numpy as np
 
     from battlezips_halo2_tpu.curves import VESTA
@@ -39,11 +52,18 @@ def bench_msm(log_size: int, iters: int):
         JacobianPoint,
         affine_to_jacobian_host,
         jacobian_to_affine_host,
+        infinity,
+        point_add as _padd,
     )
-    from battlezips_halo2_tpu.fields.limb import FieldSpec
+    from battlezips_halo2_tpu.fields import limb as L
+    from battlezips_halo2_tpu.fields.host import FP
+    from battlezips_halo2_tpu.fields.limb import FP_SPEC, FieldSpec
     from battlezips_halo2_tpu.ops import msm as M
 
+    import jax.numpy as jnp
+
     n = 1 << log_size
+    P = FP.modulus
     rng = random.Random(7)
     # the REAL SRS points (hash-to-curve derived, unknown discrete logs) —
     # the production MSM workload. The incomplete-add bucket fast path
@@ -53,49 +73,42 @@ def bench_msm(log_size: int, iters: int):
     from battlezips_halo2_tpu.pcs.ipa import cached_params
 
     points = cached_params(log_size).g
-    scalars = [rng.randrange(VESTA.scalar.modulus) for _ in range(n)]
 
     spec = FieldSpec.make(VESTA.base.modulus)
     c, signed = M.auto_window(n)
-    to_digits = (
-        (lambda vs: M.scalars_to_signed_digits(vs, c)) if signed else (lambda vs: M.scalars_to_digits(vs, c))
-    )
+    assert signed, "bench sizes use the signed-digit path"
     jac = affine_to_jacobian_host(spec, points)
-    qinf = jax.numpy.asarray(np.zeros(n, dtype=bool))
-    # several scalar sets: identical dispatches can be memoized by the
-    # remote-execution relay, so every timed call gets fresh inputs
-    variants = []
-    for v in range(max(2, iters)):
-        vs = [rng.randrange(VESTA.scalar.modulus) for _ in range(n)]
-        variants.append((vs, jax.numpy.asarray(to_digits(vs))))
-    # device-compute measurement: K window-digit variants scanned inside ONE
-    # executable (the axon relay neither blocks on block_until_ready nor
-    # tolerates per-op dispatch, so in-jit chaining + one final transfer is
-    # the only reliable clock)
-    import jax.numpy as jnp
-    from battlezips_halo2_tpu.curves.limb import point_add as _padd
-    from battlezips_halo2_tpu.fields import limb as _L
+    qx, qy = jnp.asarray(jac.x), jnp.asarray(jac.y)
+    qinf = jnp.zeros(n, dtype=bool)
 
-    digit_stack = jnp.asarray(np.stack([d for _, d in variants]))
-    w_count = digit_stack.shape[1]
+    base_scalars = [rng.randrange(P) for _ in range(n)]
+    base_mont = jnp.asarray(L.to_mont(FP_SPEC, L.ints_to_limbs(base_scalars)))
+    K = max(2, iters)
+
+    def rho_stack(seed):
+        r = random.Random(seed)
+        rho = r.randrange(1, P)
+        rhos = [pow(rho, k + 1, P) for k in range(K)]
+        return rhos, jnp.asarray(
+            np.stack([L.int_to_limbs(v * FP_SPEC.r_mod_p % P) for v in rhos])
+        )
 
     @jax.jit
-    def chained(qx, qy, qinf, dstack):
-        # accumulate per-window sums across variants ((W, 16)-wide adds);
-        # the Horner fold is linear in the window sums, so ONE host fold of
-        # the accumulated wsums equals the sum of the K MSM results
+    def chained(qx, qy, qinf, base_mont, rho_monts):
         if signed:
-            qx, qy, qinf = M._signed_doubled(spec, qx, qy, qinf)
+            qx2, qy2, qinf2 = M._signed_doubled(spec, qx, qy, qinf)
 
-        def body(carry, dig):
+        def body(carry, rho_k):
             acc, flag = carry
-            r, coll = M._msm_device_wsums(spec, qx, qy, qinf, dig, c, signed=signed)
+            sc_mont = L.mont_mul(FP_SPEC, base_mont, jnp.broadcast_to(rho_k, base_mont.shape))
+            sc = L.from_mont(FP_SPEC, sc_mont)
+            digits = M.signed_digits_device(sc, c)
+            r, coll = M._msm_device_wsums(spec, qx2, qy2, qinf2, digits, c, signed=signed)
             return (_padd(spec, acc, r), flag | coll), None
 
-        from battlezips_halo2_tpu.curves.limb import infinity
-
+        w_count = M.signed_window_count(c)
         (acc, flag), _ = jax.lax.scan(
-            body, (infinity(spec, (w_count,)), jnp.zeros((), bool)), dstack
+            body, (infinity(spec, (w_count,)), jnp.zeros((), bool)), rho_monts
         )
         return acc, flag
 
@@ -104,22 +117,24 @@ def bench_msm(log_size: int, iters: int):
         assert not bool(np.asarray(flag)), "incomplete-add collision on distinct points"
         return M.host_window_fold(VESTA, jacobian_to_affine_host(spec, r), c)
 
-    # warm the chained executable; gate correctness on its result: the sum
-    # of all K variant-MSMs equals ONE host Pippenger over the per-point
-    # variant-summed scalars
+    # warm + correctness gate: sum of the K derived-variant MSMs == one host
+    # MSM over collapsed scalars
+    rhos, rho_monts = rho_stack(1)
     t0 = time.time()
-    got = fold(chained(jac.x, jac.y, qinf, digit_stack))
+    got = fold(chained(qx, qy, qinf, base_mont, rho_monts))
     compile_and_first = time.time() - t0
-    collapsed = [0] * n
-    for vs, _ in variants:
-        for i, s in enumerate(vs):
-            collapsed[i] = (collapsed[i] + s) % VESTA.scalar.modulus
-    assert got == VESTA.pippenger(points, collapsed), "device MSM mismatch vs host reference"
+    mult = sum(rhos) % P
+    collapsed = [s * mult % P for s in base_scalars]
+    from battlezips_halo2_tpu.ops.msm import host_msm
 
+    assert got == host_msm(VESTA, points, collapsed), "device MSM mismatch vs host reference"
+
+    # timed: fresh rho powers (16*K*4 B upload; scalars derive on device)
+    _, rho_monts2 = rho_stack(2)
     t0 = time.time()
-    _ = fold(chained(jac.x, jac.y, qinf, digit_stack[::-1]))
+    _ = fold(chained(qx, qy, qinf, base_mont, rho_monts2))
     total = time.time() - t0
-    elapsed = total / digit_stack.shape[0]
+    elapsed = total / K
     pps = n / elapsed
     return {
         "metric": f"msm_points_per_sec_2^{log_size}",

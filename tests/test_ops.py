@@ -258,3 +258,22 @@ def test_signed_packed_sort_matches_two_array():
             for a, b in zip(np.asarray(k2)[w], o2[w]):
                 by_bucket_2.setdefault(int(a), set()).add(int(b))
             assert by_bucket_1 == by_bucket_2
+
+
+def test_signed_digits_device_matches_host():
+    """In-graph signed digit extraction (signed_digits_device) == the host
+    scalars_to_signed_digits, over edge scalars (0, 1, p-1) and random ones.
+    Pure bit logic — no point-op graphs compiled."""
+    import jax.numpy as jnp
+
+    from battlezips_halo2_tpu.fields import limb as L
+    from battlezips_halo2_tpu.ops import msm as M
+
+    rng = random.Random(1)
+    for c in (10, 13):
+        sc = [0, 1, VESTA.scalar.modulus - 1] + [
+            rng.randrange(VESTA.scalar.modulus) for _ in range(61)
+        ]
+        limbs = jnp.asarray(L.ints_to_limbs(sc))
+        got = np.asarray(M.signed_digits_device(limbs, c))
+        assert (got == M.scalars_to_signed_digits(sc, c)).all()

@@ -57,18 +57,35 @@ def fresh_digits(seed):
     return jnp.asarray(M.scalars_to_signed_digits(sc, C))
 
 
-def timed(name, f, seeds=(11, 12)):
-    out = f(fresh_digits(1))
+def _device_digits(seed):
+    """Pseudo-random signed digits generated ON DEVICE from a 4-byte seed:
+    the host->relay upload of a (W, N) digit array (~21 MB at 2^18) costs
+    ~0.4 s and would swamp every phase timing. Distribution matches the
+    real digits (uniform in [-2^(c-1), 2^(c-1))); values are only for
+    TIMING, never correctness."""
+    w_ids = jnp.arange(W, dtype=jnp.uint32)[:, None]
+    i_ids = jnp.arange(N, dtype=jnp.uint32)[None, :]
+    h = (i_ids * jnp.uint32(2654435761) + w_ids * jnp.uint32(40503) + seed) ^ (i_ids >> 13)
+    h = h * jnp.uint32(2246822519)
+    half = jnp.uint32(1 << (C - 1))
+    return (h % (2 * half)).astype(jnp.int32) - (1 << (C - 1))
+
+
+_gen = jax.jit(_device_digits)
+
+
+def timed(name, f, seeds=(11, 12, 13)):
+    g = jax.jit(lambda s: f(_device_digits(s)))
+    out = g(jnp.uint32(1))
     jax.tree_util.tree_map(np.asarray, out)
     best = None
     for s in seeds:
-        d = fresh_digits(s)
         t0 = time.time()
-        out = f(d)
+        out = g(jnp.uint32(s))
         jax.tree_util.tree_map(np.asarray, out)
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
-    print(f"{name:24s}: {best * 1000:9.1f} ms", flush=True)
+    print(f"{name:24s}: {best * 1000:9.1f} ms (in-graph inputs)", flush=True)
     return out
 
 
@@ -127,8 +144,45 @@ def partition_with_scatter(digits):
     return order[:, :: N // 16], total[:, :8]
 
 
+@jax.jit
+def hist_only(digits):
+    mag = jnp.abs(digits.astype(jnp.int32))
+    nblk = N // BLOCK
+    d_blk = mag.reshape(W, nblk, BLOCK)
+    blk_ids = jnp.arange(nblk, dtype=jnp.int32)[None, :, None]
+    flat_idx = (blk_ids * NBUCK + d_blk).reshape(W, N)
+    h = jnp.zeros((W, nblk * NBUCK), jnp.int32)
+    h = jax.vmap(lambda hw, ix: hw.at[ix].add(1))(h, flat_idx)
+    return h[:, :: NBUCK]
+
+
+@jax.jit
+def rank_only(digits):
+    mag = jnp.abs(digits.astype(jnp.int32))
+    nblk = N // BLOCK
+    d_blk = mag.reshape(W, nblk, BLOCK)
+    eq = d_blk[..., :, None] == d_blk[..., None, :]
+    tril = jnp.tril(jnp.ones((BLOCK, BLOCK), jnp.bool_), k=-1)
+    rank = (eq & tril).sum(axis=-1).astype(jnp.int32)
+    return rank[:, :: max(1, nblk // 8), ::64]
+
+
+@jax.jit
+def gather_only(digits):
+    mag = jnp.abs(digits.astype(jnp.int32))
+    base = jnp.cumsum(jnp.ones((W, NBUCK), jnp.int32), axis=1)
+    b = jnp.take_along_axis(base, mag, axis=1)
+    return b[:, :: N // 16]
+
+
 if __name__ == "__main__":
     which = sys.argv[1:] or ["sort", "pos", "scatter", "check"]
+    if "hist" in which:
+        timed("hist scatter-add", hist_only)
+    if "rank" in which:
+        timed("rank eq-tril", rank_only)
+    if "gatherpos" in which:
+        timed("bucket-base gather", gather_only)
     if "check" in which:
         d = fresh_digits(0)
         pos, total = jax.jit(partition_positions)(d)
