@@ -103,24 +103,93 @@ def scalars_to_signed_digits(scalars, c: int) -> np.ndarray:
 
 import os
 
+from ..config import config
 from .dispatch import device_call
-
-_PALLAS_MSM = os.environ.get("BZ_PALLAS_MSM", "") not in ("", "0")
-# fused transposed-layout scan step (pallas_kernels.msm_step_T): DEFAULT ON
-# for the TPU backend. Honest bench (fresh digit values, 4 MSMs chained per
-# dispatch, BENCH_NOTES.md): 2^18 = 310.8K pts/s (0.84 s/msm) fused vs
-# 187.3K (1.40 s) jnp — 1.66x; profiler full @2^14: 94 ms vs 163 ms.
-# (An earlier "regression" reading was relay-degraded noise.)
-# BZ_NO_PALLAS_MSM_T=1 opts out.
-_PALLAS_MSM_T = os.environ.get("BZ_NO_PALLAS_MSM_T", "") in ("", "0")
 
 
 def _use_fused_T() -> bool:
-    if not _PALLAS_MSM_T:
+    # fused transposed-layout scan step (pallas_kernels.msm_step_T): DEFAULT
+    # ON for the TPU backend. Honest bench (fresh digit values, 4 MSMs
+    # chained per dispatch, BENCH_NOTES.md): 2^18 = 310.8K pts/s fused vs
+    # 187.3K jnp — 1.66x. BZ_NO_PALLAS_MSM_T=1 opts out.
+    if not config().pallas_msm_t:
         return False
     from .pallas_kernels import use_pallas
 
     return use_pallas()
+
+
+# ---------------------------------------------------------------------------
+# Counting partition — the sort killer.
+#
+# Pippenger's bucket accumulation only needs rows GROUPED by (window, bucket);
+# order inside a group is irrelevant (point addition commutes). A comparison
+# sort (jax.lax.sort) was the dominant MSM phase on TPU (~70 ms of a 94 ms
+# 2^14 MSM; ~165 ns/element — bitonic depth log^2 n). A counting partition is
+# O(n) with fully vectorizable phases:
+#
+#   1. block histograms  h[blk, d] = #rows in block with bucket d
+#   2. bucket bases      base[d]   = exclusive-cumsum_d of per-window totals
+#      block offsets     offs[blk, d] = exclusive-cumsum_blk(h)
+#   3. in-block ranks    rank[i]   = #{j < i in block : d_j == d_i}
+#      (equality matrix & strict lower-triangle, summed — no bucket axis)
+#   4. pos[i] = base[d_i] + offs[blk_i, d_i] + rank[i]   (gathers)
+#   5. key_s = scatter(key[i] -> pos[i])                 (unique-index)
+#
+# BZ_NO_MSM_PARTITION=1 falls back to lax.sort; BZ_MSM_HIST picks the
+# histogram flavor: "scatter" (vmapped scatter-add) or "onehot" (compare +
+# reduce, MXU/VPU friendly) — both through config().
+
+
+def _partition_block(n: int) -> int:
+    """In-block rank tile size: power of two dividing n (n is a power of
+    two >= 64 on every device path). 512 keeps the (BLOCK, BLOCK) equality
+    tile VMEM-resident while amortizing the per-block offset machinery."""
+    return min(512, n)
+
+
+def _counting_partition(key: list, mag, nbuck: int) -> list:
+    """key: list of (W, N) arrays to permute; mag: (W, N) int32 bucket ids in
+    [0, nbuck). Returns each array's rows grouped by ascending bucket id —
+    the drop-in replacement for ``jax.lax.sort`` given downstream only
+    consumes the grouping (segment heads/tails), not intra-group order."""
+    w, n = mag.shape
+    block = _partition_block(n)
+    nblk = n // block
+    d_blk = mag.reshape(w, nblk, block)
+    flat_idx = (jnp.arange(nblk, dtype=jnp.int32)[None, :, None] * nbuck + d_blk).reshape(w, n)
+    if config().msm_hist == "onehot":
+        onehot = (d_blk[..., None] == jnp.arange(nbuck, dtype=jnp.int32)).astype(jnp.int32)
+        h = onehot.sum(axis=2)  # (W, nblk, nbuck); compare fuses into reduce
+    else:
+        h0 = jnp.zeros((w, nblk * nbuck), jnp.int32)
+        h = jax.vmap(lambda hw, ix: hw.at[ix].add(1))(h0, flat_idx).reshape(w, nblk, nbuck)
+    total = h.sum(axis=1)  # (W, nbuck)
+    base = jnp.cumsum(total, axis=1) - total  # exclusive over buckets
+    offs = jnp.cumsum(h, axis=1) - h  # exclusive over blocks
+    # in-block ranks: strict-tril equality row sums (tile-local, fuses)
+    eq = d_blk[..., :, None] == d_blk[..., None, :]  # (W, nblk, B, B)
+    tril = jnp.tril(jnp.ones((block, block), jnp.bool_), k=-1)
+    rank = (eq & tril).sum(axis=-1, dtype=jnp.int32).reshape(w, n)
+    pos = (
+        jnp.take_along_axis(base, mag, axis=1)
+        + jnp.take_along_axis(offs.reshape(w, nblk * nbuck), flat_idx, axis=1)
+        + rank
+    )
+    scat = jax.vmap(lambda o, p, k: o.at[p].set(k, unique_indices=True, mode="drop"))
+    return [scat(jnp.zeros_like(k), pos, k) for k in key]
+
+
+def _group_rows(arrs: list, mag, nbuck: int) -> list:
+    """Group each (W, N) array in ``arrs`` by the bucket ids in ``mag``:
+    counting partition when enabled, else lax.sort keyed on arrs[0] (whose
+    high bits must then contain the bucket id, as the packed keys do)."""
+    n = mag.shape[1]
+    if config().msm_partition and n % _partition_block(n) == 0:
+        return _counting_partition(arrs, mag, nbuck)
+    if len(arrs) == 1:
+        return [jax.lax.sort(arrs[0], dimension=1)]
+    return list(jax.lax.sort(arrs, dimension=1, num_keys=1))
 
 
 def _combine_points(spec: FieldSpec, a: JacobianPoint, b: JacobianPoint) -> JacobianPoint:
@@ -131,7 +200,7 @@ def _combine_points(spec: FieldSpec, a: JacobianPoint, b: JacobianPoint) -> Jaco
     row-layout operands are transposed around the call, which costs ~1% of
     the fused win. BZ_PALLAS_MSM=1 selects the legacy row-layout kernel;
     BZ_NO_PALLAS_MSM_T=1 falls back to the plain jnp formulation."""
-    if _PALLAS_MSM and a.x.ndim == 2:
+    if config().pallas_msm and a.x.ndim == 2:
         from .pallas_kernels import use_pallas
 
         if use_pallas():
@@ -193,7 +262,7 @@ def _lane_block(n_rows: int, n_points: int) -> int:
     8K-lane one), so lanes default high and the step count shrinks
     proportionally. The cap bounds the (lanes, 1024) bf16 mul intermediate
     (64 MB at 32K lanes) and the per-step gather size."""
-    cap = int(os.environ.get("BZ_MSM_LANES", "32768"))
+    cap = config().msm_lanes
     lanes = min(cap, n_points, max(64, n_rows // 8))
     return max(1, 1 << (lanes.bit_length() - 1))
 
@@ -252,21 +321,21 @@ def _msm_device_wsums(
                 | (sgn.astype(jnp.uint32) << idx_bits)
                 | jnp.arange(n, dtype=jnp.uint32)
             )
-            key_s = jax.lax.sort(key, dimension=1)
+            (key_s,) = _group_rows([key], mag, nbuck)
             k_sw = (key_s >> (idx_bits + 1)).astype(jnp.int32)
             order_w = (
                 (key_s & ((1 << idx_bits) - 1)) + ((key_s >> idx_bits) & 1) * n
             ).astype(jnp.int32)
         else:
             payload = (sgn << idx_bits) | jnp.arange(n, dtype=jnp.int32)
-            k_sw, pay_s = jax.lax.sort([mag, payload], dimension=1, num_keys=1)
+            k_sw, pay_s = _group_rows([mag, payload], mag, nbuck)
             order_w = (pay_s & ((1 << idx_bits) - 1)) + (pay_s >> idx_bits) * n
     else:
         # digit and point index packed into ONE int32 key (digit in the
         # high bits) so the sort moves half the payload of a key-value sort
         assert c + idx_bits <= 31, "packed sort key needs idx bits + c <= 31"
         packed = (digits.astype(jnp.int32) << idx_bits) | jnp.arange(n, dtype=jnp.int32)
-        packed = jax.lax.sort(packed, dimension=1)
+        (packed,) = _group_rows([packed], digits.astype(jnp.int32), nbuck)
         k_sw = packed >> idx_bits
         order_w = packed & ((1 << idx_bits) - 1)
     k_s = (jnp.arange(w_count, dtype=jnp.int32)[:, None] * nbuck + k_sw).reshape(total_rows)
@@ -292,7 +361,7 @@ def _msm_device_wsums(
     buckets0 = infinity(spec, (trash + 1,))
 
     use_fused = False
-    if _PALLAS_MSM:
+    if config().pallas_msm:
         from .pallas_kernels import use_pallas
 
         use_fused = use_pallas()

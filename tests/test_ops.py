@@ -277,3 +277,72 @@ def test_signed_digits_device_matches_host():
         limbs = jnp.asarray(L.ints_to_limbs(sc))
         got = np.asarray(M.signed_digits_device(limbs, c))
         assert (got == M.scalars_to_signed_digits(sc, c)).all()
+
+
+def test_counting_partition_groups_by_bucket():
+    """_counting_partition is a bucket-grouped permutation: same per-(window,
+    bucket) row sets as lax.sort on the packed key, buckets ascending —
+    the contract _msm_device_wsums relies on (intra-bucket order is free;
+    point addition commutes). Pure index logic, no point ops."""
+    import jax
+    import jax.numpy as jnp
+
+    from battlezips_halo2_tpu.ops import msm as M
+
+    rng = random.Random(1)
+    for n, c in ((256, 8), (512, 10), (2048, 13)):
+        nbuck = (1 << (c - 1)) + 1
+        sc = [rng.randrange(1 << 255) for _ in range(n)]
+        digits = jnp.asarray(M.scalars_to_signed_digits(sc, c))
+        idx_bits = max(1, (n - 1).bit_length())
+        mag = jnp.abs(digits.astype(jnp.int32))
+        sgn = (digits < 0).astype(jnp.uint32)
+        key = (
+            (mag.astype(jnp.uint32) << (idx_bits + 1))
+            | (sgn << idx_bits)
+            | jnp.arange(n, dtype=jnp.uint32)
+        )
+        import os
+
+        for hist in ("scatter", "onehot"):
+            old = os.environ.get("BZ_MSM_HIST")
+            os.environ["BZ_MSM_HIST"] = hist
+            try:
+                (got,) = jax.jit(lambda k, m: M._counting_partition([k], m, nbuck))(key, mag)
+            finally:
+                if old is None:
+                    os.environ.pop("BZ_MSM_HIST")
+                else:
+                    os.environ["BZ_MSM_HIST"] = old
+            want = jax.lax.sort(key, dimension=1)
+            got_np, want_np = np.asarray(got), np.asarray(want)
+            for w in range(digits.shape[0]):
+                # identical multiset of rows (permutation, nothing dropped)
+                assert sorted(got_np[w].tolist()) == sorted(want_np[w].tolist())
+                # grouped by bucket id, ascending
+                mags = got_np[w] >> (idx_bits + 1)
+                assert (np.diff(mags.astype(np.int64)) >= 0).all(), (n, c, hist, w)
+
+
+def test_counting_partition_multi_array():
+    """Multi-array variant (the c+1+idx_bits > 32 path): all arrays permuted
+    by the SAME position map."""
+    import jax
+    import jax.numpy as jnp
+
+    from battlezips_halo2_tpu.ops import msm as M
+
+    rng = random.Random(2)
+    n, c = 1024, 12
+    nbuck = (1 << (c - 1)) + 1
+    sc = [rng.randrange(1 << 255) for _ in range(n)]
+    digits = jnp.asarray(M.scalars_to_signed_digits(sc, c))
+    mag = jnp.abs(digits.astype(jnp.int32))
+    payload = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], mag.shape)
+    k_g, p_g = jax.jit(lambda m, p: M._counting_partition([m, p], m, nbuck))(mag, payload)
+    k_np, p_np, mag_np = np.asarray(k_g), np.asarray(p_g), np.asarray(mag)
+    for w in range(mag.shape[0]):
+        assert (np.diff(k_np[w].astype(np.int64)) >= 0).all()
+        # payload row i carries the original index; its grouped mag must match
+        assert (mag_np[w][p_np[w]] == k_np[w]).all()
+        assert sorted(p_np[w].tolist()) == list(range(n))
