@@ -61,7 +61,19 @@ def _all_window_points(curve: Curve, base: Point) -> list[list[Point]]:
 
 
 def find_z(ys: list[int], field=FP) -> int:
-    """Smallest z making every y+z a QR and every -y+z a non-QR."""
+    """Smallest z making every y+z a QR and every -y+z a non-QR.
+
+    Routes through the native OpenMP Euler-criterion scan (csrc/pasta.cpp
+    pasta_find_z) when available — observed z values run to ~5*10^5
+    (reference board_commit tables), which is minutes per window in pure
+    Python but ~0.1 s native. The Python loop is the authoritative fallback
+    and the cross-check used by tests."""
+    from .. import native
+
+    if field.modulus in (native._FP_MODULUS, native._FQ_MODULUS) and native.available():
+        z = native.find_z(native.which_for(field.modulus), [y % field.modulus for y in ys])
+        if z is not None:
+            return z
     z = 0
     while True:
         if all(field.is_square(y + z) and not field.is_square(field.neg(y) + z) for y in ys):
@@ -117,15 +129,56 @@ def mul_windows(curve: Curve, base_table: FixedBase, windows: list[int]) -> Poin
     return acc
 
 
+def _derived_zs(name: str, generator: Point) -> list[int] | None:
+    """Disk cache for the from-scratch z-search (.artifacts), keyed by the
+    generator coordinates so a stale cache can never mismatch the base."""
+    import json
+    from pathlib import Path
+
+    cache = Path(__file__).resolve().parent.parent.parent / ".artifacts" / f"fixed_base_zs_{name}.json"
+    key = [generator[0], generator[1]]
+    if cache.exists():
+        try:
+            data = json.loads(cache.read_text())
+            if data.get("generator") == [str(k) for k in key]:
+                return [int(z) for z in data["z"]]
+        except (ValueError, KeyError):
+            pass
+    return None
+
+
+def _save_zs(name: str, generator: Point, zs: list[int]) -> None:
+    import json
+    from pathlib import Path
+
+    cache = Path(__file__).resolve().parent.parent.parent / ".artifacts" / f"fixed_base_zs_{name}.json"
+    cache.parent.mkdir(exist_ok=True)
+    cache.write_text(json.dumps({"generator": [str(generator[0]), str(generator[1])], "z": zs}))
+
+
+def _build_from_scratch(name: str, generator: Point) -> FixedBase:
+    """Production table build with ZERO reference-derived inputs: window
+    points from incremental group ops, z witnesses from the from-scratch
+    search (native-accelerated), u values from Tonelli-Shanks. The extracted
+    reference JSON (utils/constants/reference_tables.json) is consumed only
+    by tests, as a parity oracle (tests/test_ecc_pedersen.py asserts full
+    byte-equality of these tables against it)."""
+    zs = _derived_zs(name, generator)
+    fb = FixedBase.build(name, generator, zs)
+    if zs is None:
+        _save_zs(name, generator, [w.z for w in fb.windows])
+    return fb
+
+
 @lru_cache(maxsize=None)
 def board_commit_v() -> FixedBase:
-    from ..utils.constants import BOARD_COMMIT_V_GENERATOR, reference_tables
+    from ..utils.constants import BOARD_COMMIT_V_GENERATOR
 
-    return FixedBase.build("BoardCommitV", BOARD_COMMIT_V_GENERATOR, reference_tables()["board_commit_v"]["z"])
+    return _build_from_scratch("BoardCommitV", BOARD_COMMIT_V_GENERATOR)
 
 
 @lru_cache(maxsize=None)
 def board_commit_r() -> FixedBase:
-    from ..utils.constants import BOARD_COMMIT_R_GENERATOR, reference_tables
+    from ..utils.constants import BOARD_COMMIT_R_GENERATOR
 
-    return FixedBase.build("BoardCommitR", BOARD_COMMIT_R_GENERATOR, reference_tables()["board_commit_r"]["z"])
+    return _build_from_scratch("BoardCommitR", BOARD_COMMIT_R_GENERATOR)

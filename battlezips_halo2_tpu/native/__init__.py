@@ -64,6 +64,8 @@ def load():
         lib.pasta_mul_batch.argtypes = [ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64]
         lib.pasta_inv_batch.argtypes = [ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64]
         lib.pasta_msm.argtypes = [ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64]
+        lib.pasta_find_z.argtypes = [ctypes.c_int, ctypes.c_char_p, ctypes.c_int64]
+        lib.pasta_find_z.restype = ctypes.c_int64
         _lib = lib
     except OSError:
         _lib = None
@@ -93,6 +95,18 @@ def inv_batch(which: int, xs: list[int]) -> list[int]:
     out = ctypes.create_string_buffer(32 * n)
     lib.pasta_inv_batch(which, a, out, n)
     return [int.from_bytes(out.raw[32 * i : 32 * (i + 1)], "little") for i in range(n)]
+
+
+def find_z(which: int, ys: list[int], z_max: int = 1 << 24) -> int | None:
+    """Smallest z >= 0 with every y+z a square and every -y+z a non-residue
+    (fixed-base canonicity witness, gadgets/fixed_bases.py). OpenMP-parallel
+    Euler-criterion scan; ~1000x the pure-Python search."""
+    lib = load()
+    assert lib is not None
+    assert len(ys) == 8
+    buf = b"".join(int(y).to_bytes(32, "little") for y in ys)
+    z = lib.pasta_find_z(which, buf, z_max)
+    return None if z < 0 else int(z)
 
 
 def msm(which: int, points, scalars) -> tuple | None:

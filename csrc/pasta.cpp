@@ -196,6 +196,19 @@ static void fe_inv(const FieldCtx* c, Fe& out, const Fe& a) {
 
 static void fe_to_mont(const FieldCtx* c, Fe& out, const Fe& a) { fe_mul(c, out, a, c->r2); }
 
+// Legendre symbol via Euler's criterion on a Montgomery-form input:
+// 1 = nonzero quadratic residue, 0 = zero, -1 = non-residue.
+static int fe_legendre(const FieldCtx* c, const Fe& a_mont) {
+    if (fe_is_zero(a_mont)) return 0;
+    Fe e = c->modulus;  // (p-1)/2: p odd so no borrow from the -1
+    e.l[0] -= 1;
+    for (int i = 0; i < 3; ++i) e.l[i] = (e.l[i] >> 1) | (e.l[i + 1] << 63);
+    e.l[3] >>= 1;
+    Fe r;
+    fe_pow(c, r, a_mont, e);
+    return std::memcmp(&r, &c->one, 32) == 0 ? 1 : -1;
+}
+
 static void fe_from_mont(const FieldCtx* c, Fe& out, const Fe& a) {
     Fe one_plain = {{1, 0, 0, 0}};
     fe_mul(c, out, a, one_plain);
@@ -432,6 +445,48 @@ void pasta_msm(int which, const uint8_t* points, const uint8_t* scalars, uint8_t
     fe_from_mont(c, ay, ay);
     std::memcpy(out, &ax, 32);
     std::memcpy(out + 32, &ay, 32);
+}
+
+// Fixed-base window-table canonicity witness search (the halo2_gadgets
+// find_zs analog, gadgets/fixed_bases.py): smallest z in [0, z_max) such
+// that for all 8 window-point y values, y+z is a square (0 counts as
+// square, matching fields/host.py is_square) and -y+z is a non-residue.
+// ys: 8 * 32-byte LE canonical reprs. Returns -1 if no z < z_max.
+int64_t pasta_find_z(int which, const uint8_t* ys, int64_t z_max) {
+    const FieldCtx* c = ctx_for(which);
+    Fe y[8], ny[8];
+    Fe zero = {{0, 0, 0, 0}};
+    for (int j = 0; j < 8; ++j) {
+        std::memcpy(&y[j], ys + 32 * j, 32);
+        fe_to_mont(c, y[j], y[j]);
+        fe_sub(c, ny[j], zero, y[j]);
+    }
+    const int64_t CHUNK = 4096;
+    for (int64_t base = 0; base < z_max; base += CHUNK) {
+        int64_t end = base + CHUNK < z_max ? base + CHUNK : z_max;
+        int64_t found = -1;
+#pragma omp parallel
+        {
+            int64_t local = -1;
+#pragma omp for nowait schedule(dynamic, 64)
+            for (int64_t z = base; z < end; ++z) {
+                Fe zf = {{(u64)z, 0, 0, 0}}, zm, t;
+                fe_to_mont(c, zm, zf);
+                bool ok = true;
+                for (int j = 0; j < 8 && ok; ++j) {
+                    fe_add(c, t, y[j], zm);
+                    if (fe_legendre(c, t) < 0) { ok = false; break; }
+                    fe_add(c, t, ny[j], zm);
+                    if (fe_legendre(c, t) >= 0) ok = false;
+                }
+                if (ok && (local == -1 || z < local)) local = z;
+            }
+#pragma omp critical
+            if (local != -1 && (found == -1 || local < found)) found = local;
+        }
+        if (found != -1) return found;
+    }
+    return -1;
 }
 
 }  // extern "C"

@@ -27,15 +27,19 @@ from battlezips_halo2_tpu.utils.pedersen import pedersen_commit
 
 class TestWindowTables:
     def test_z_u_parity_with_reference(self):
-        """Our u-derivation reproduces the reference tables byte-for-byte
-        (given the z values); spot-check z derivation from scratch."""
-        ref = reference_tables()["board_commit_v"]
-        table = board_commit_v()
-        for w in (0, 1, 42, 84):
-            wt = table.windows[w]
-            assert wt.z == ref["z"][w]
-            for j in range(8):
-                assert FP.to_repr(wt.us[j]) == bytes.fromhex(ref["u"][w][j])
+        """The PRODUCTION tables (board_commit_v/_r, built with zero
+        reference-derived inputs: from-scratch z-search + Tonelli-Shanks u)
+        reproduce the reference's Z and U data byte-for-byte across ALL 85
+        windows of BOTH generators (board_commit_{v,r}.rs:17,28). The
+        extracted JSON is consumed here only, as the parity oracle."""
+        from battlezips_halo2_tpu.gadgets.fixed_bases import board_commit_r
+
+        for name, table in (("board_commit_v", board_commit_v()), ("board_commit_r", board_commit_r())):
+            ref = reference_tables()[name]
+            assert [wt.z for wt in table.windows] == ref["z"], name
+            for w, wt in enumerate(table.windows):
+                for j in range(8):
+                    assert FP.to_repr(wt.us[j]) == bytes.fromhex(ref["u"][w][j]), (name, w, j)
 
     @pytest.mark.parametrize("w", [0, 84])
     def test_z_derivation_from_scratch(self, w):
