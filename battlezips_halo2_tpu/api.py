@@ -171,15 +171,16 @@ def prove_session(
     * ``seed`` derives a per-job blinding rng (deterministic sessions);
       None keeps secrets-backed blinding.
     """
-    import os
     import random as _random
 
     import jax as _jax
 
+    from .config import config as _config
+
     if workers is None:
-        workers = int(os.environ.get("BZ_SESSION_WORKERS", "1"))
-    if dp_devices is None and os.environ.get("BZ_SESSION_DP"):
-        dp_devices = int(os.environ["BZ_SESSION_DP"])
+        workers = _config().session_workers
+    if dp_devices is None and _config().session_dp:
+        dp_devices = _config().session_dp
     if isinstance(dp_devices, int):
         dp_devices = _jax.devices()[:dp_devices]
     if dp_devices:

@@ -3,9 +3,11 @@
 The reference's configuration surface is compile-time only (const generics
 + module constants + a swap-in Cargo manifest); the TPU framework's runtime
 knobs live in ONE dataclass, populated from environment variables with the
-same ``BZ_*`` names the subsystems read. ``config()`` is the canonical read
-point; the circuit-shape constants mirror ``utils/constants.py`` (which
-mirrors the reference's src/utils/constants.rs).
+same ``BZ_*`` names. ``config()`` is the canonical read point — every
+subsystem below consults it (ops/msm.py, ops/ntt.py, ops/dispatch.py,
+plonk/{prover,verifier,keys}.py, api.py, parallel/context.py); the
+circuit-shape constants mirror ``utils/constants.py`` (which mirrors the
+reference's src/utils/constants.rs).
 
 Environment flags:
 
@@ -15,9 +17,16 @@ Environment flags:
 | BZ_VERIFY_TRACE | trace_verifier | verifier failure-point logs |
 | BZ_HOST_QUOTIENT | host_quotient | exact host quotient (cross-check) |
 | BZ_NO_SELECTOR_COMPRESS | selector_compression (inverted) | keygen opt-out |
-| BZ_PALLAS_MSM / BZ_PALLAS_NTT | pallas_msm / pallas_ntt | fused-kernel opt-ins |
+| BZ_PALLAS_MSM / BZ_PALLAS_NTT | pallas_msm / pallas_ntt | legacy row-layout fused kernels (opt-in) |
+| BZ_NO_PALLAS_MSM_T | pallas_msm_t (inverted) | fused transposed MSM scan step (default ON on TPU) |
+| BZ_PALLAS_NTT_T | pallas_ntt_t | fused transposed NTT butterfly (opt-in) |
+| BZ_NO_MSM_PARTITION | msm_partition (inverted) | counting partition replacing lax.sort (default ON) |
+| BZ_MSM_HIST | msm_hist | partition histogram flavor: scatter / onehot |
 | BZ_MSM_LANES | msm_lanes | serial-scan lane cap |
 | BZ_DISPATCH_RETRIES / BZ_DISPATCH_BACKOFF_S | dispatch_retries / dispatch_backoff_s | transient-failure retry policy |
+| BZ_SESSION_WORKERS / BZ_SESSION_DP | session_workers / session_dp | api.prove_session pipelining / DP defaults |
+| BZ_MESH_DP / BZ_MESH_TP | mesh.dp / mesh.tp | parallel.context.mesh_from_config shape |
+| BZ_NUM_PROCS / BZ_PROC_ID / BZ_COORDINATOR | procs / proc_id / coordinator | jax.distributed wiring |
 | BZ_RUN_SLOW | run_slow_tests | production-proof test tier |
 """
 
@@ -36,7 +45,7 @@ class MeshConfig:
     """Device-mesh shape for the parallel layer (SURVEY §2.3): axis sizes
     for data-parallel (proof batch) and tensor/sequence-parallel (MSM
     points / NTT coefficients) sharding. ``None`` = all visible devices on
-    one 1-D axis."""
+    one 1-D axis. Consumed by parallel.context.mesh_from_config()."""
 
     dp: int | None = None
     tp: int | None = None
@@ -62,14 +71,25 @@ class FrameworkConfig:
     # device kernels
     pallas_msm: bool = False
     pallas_ntt: bool = False
+    pallas_msm_t: bool = True
+    pallas_ntt_t: bool = False
+    msm_partition: bool = True
+    msm_hist: str = "scatter"
     msm_lanes: int = 32768
 
     # dispatch robustness
     dispatch_retries: int = 3
     dispatch_backoff_s: float = 2.0
 
-    # mesh
+    # serving / session
+    session_workers: int = 1
+    session_dp: int | None = None
+
+    # mesh / distributed
     mesh: MeshConfig = field(default_factory=MeshConfig)
+    procs: int = 1
+    proc_id: int = 0
+    coordinator: str = "127.0.0.1:12807"
 
     # test tiers
     run_slow_tests: bool = False
@@ -83,13 +103,22 @@ class FrameworkConfig:
             trace_verifier=_flag("BZ_VERIFY_TRACE"),
             pallas_msm=_flag("BZ_PALLAS_MSM"),
             pallas_ntt=_flag("BZ_PALLAS_NTT"),
+            pallas_msm_t=not _flag("BZ_NO_PALLAS_MSM_T"),
+            pallas_ntt_t=_flag("BZ_PALLAS_NTT_T"),
+            msm_partition=not _flag("BZ_NO_MSM_PARTITION"),
+            msm_hist=os.environ.get("BZ_MSM_HIST", "scatter"),
             msm_lanes=int(os.environ.get("BZ_MSM_LANES", "32768")),
             dispatch_retries=int(os.environ.get("BZ_DISPATCH_RETRIES", "3")),
             dispatch_backoff_s=float(os.environ.get("BZ_DISPATCH_BACKOFF_S", "2.0")),
+            session_workers=int(os.environ.get("BZ_SESSION_WORKERS", "1")),
+            session_dp=int(os.environ["BZ_SESSION_DP"]) if os.environ.get("BZ_SESSION_DP") else None,
             mesh=MeshConfig(
                 dp=int(os.environ["BZ_MESH_DP"]) if "BZ_MESH_DP" in os.environ else None,
                 tp=int(os.environ["BZ_MESH_TP"]) if "BZ_MESH_TP" in os.environ else None,
             ),
+            procs=int(os.environ.get("BZ_NUM_PROCS", "1")),
+            proc_id=int(os.environ.get("BZ_PROC_ID", "0")),
+            coordinator=os.environ.get("BZ_COORDINATOR", "127.0.0.1:12807"),
             run_slow_tests=_flag("BZ_RUN_SLOW"),
         )
 

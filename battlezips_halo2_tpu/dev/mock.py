@@ -40,6 +40,17 @@ def _column_array(raw: list, n: int) -> np.ndarray:
     return out
 
 
+_KIND_ORDER = {ColumnType.ADVICE: 0, ColumnType.FIXED: 1, ColumnType.INSTANCE: 2}
+
+
+def _cell_sort_key(cell):
+    """halo2 metadata::VirtualCell Ord parity: (column type [Advice < Fixed
+    < Instance], column index, rotation) — pins the cell_values ordering the
+    reference tests assert."""
+    col, rot = cell
+    return (_KIND_ORDER[col.kind], col.index, rot)
+
+
 class MockProver:
     def __init__(self, k: int, cs: ConstraintSystem, assignment: Assignment, instances: list[list[int]]):
         self.k = k
@@ -75,6 +86,21 @@ class MockProver:
         return MockProver(k, cs, assignment, instances)
 
     # --- cell accessors ---------------------------------------------------
+    def _format_value(self, v: int) -> str:
+        """halo2 dev/util.rs format_value parity: "0", "1", "-1" for the
+        trivial values, else 0x-prefixed hex with leading zeros trimmed —
+        the exact strings the reference's negative tests assert
+        (src/circuits/board.rs:437-467 expects "0x5"; the transpose
+        collision tests expect "0"/"1")."""
+        v %= FP.modulus
+        if v == 0:
+            return "0"
+        if v == 1:
+            return "1"
+        if v == FP.modulus - 1:
+            return "-1"
+        return hex(v)
+
     def _cell_value(self, column: Column, row: int) -> int:
         row %= self.n
         if column.kind == ColumnType.ADVICE:
@@ -170,7 +196,7 @@ class MockProver:
             for s in sel_ids:
                 fires |= np.array([bool(v) for v in self.selectors[s]], dtype=bool)
             gate_cols = {c for c, _ in cells}
-            for col, rot in sorted(cells, key=repr):
+            for col, rot in sorted(cells, key=_cell_sort_key):
                 if col.kind != ColumnType.ADVICE:
                     continue
                 bad = fires & np.roll(unassigned[col.index], -rot)
@@ -200,8 +226,8 @@ class MockProver:
                 for row in bad_rows:
                     row = int(row)
                     cell_values = tuple(
-                        ((col, rot), hex(self._cell_value(col, row + rot)))
-                        for col, rot in sorted(queried, key=repr)
+                        ((col, rot), self._format_value(self._cell_value(col, row + rot)))
+                        for col, rot in sorted(queried, key=_cell_sort_key)
                     )
                     failures.append(
                         ConstraintNotSatisfied(

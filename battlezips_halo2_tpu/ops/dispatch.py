@@ -22,8 +22,12 @@ _TRANSIENT_MARKERS = (
     "Socket closed",
 )
 
-_MAX_ATTEMPTS = int(os.environ.get("BZ_DISPATCH_RETRIES", "3"))
-_BACKOFF_S = float(os.environ.get("BZ_DISPATCH_BACKOFF_S", "2.0"))
+from ..config import config as _config
+
+
+def _retry_policy():
+    c = _config()
+    return c.dispatch_retries, c.dispatch_backoff_s
 
 
 class DeviceUnavailable(RuntimeError):
@@ -42,22 +46,23 @@ def device_call(fn, *args, what: str = "device dispatch"):
     anything else (trace errors, OOM, shape mismatches) propagates
     immediately. Raises DeviceUnavailable after the final attempt."""
     last: Exception | None = None
-    for attempt in range(_MAX_ATTEMPTS):
+    max_attempts, backoff_s = _retry_policy()
+    for attempt in range(max_attempts):
         try:
             return fn(*args)
         except Exception as exc:  # jax wraps backend errors in JaxRuntimeError
             if not _is_transient(exc):
                 raise
             last = exc
-            if attempt < _MAX_ATTEMPTS - 1:
-                delay = _BACKOFF_S * (2**attempt)
+            if attempt < max_attempts - 1:
+                delay = backoff_s * (2**attempt)
                 print(
                     f"[dispatch] {what}: transient backend error "
-                    f"(attempt {attempt + 1}/{_MAX_ATTEMPTS}, retrying in {delay:.0f}s): "
+                    f"(attempt {attempt + 1}/{max_attempts}, retrying in {delay:.0f}s): "
                     f"{str(exc).splitlines()[0][:160]}",
                     flush=True,
                 )
                 time.sleep(delay)
     raise DeviceUnavailable(
-        f"{what}: accelerator backend unavailable after {_MAX_ATTEMPTS} attempts"
+        f"{what}: accelerator backend unavailable after {max_attempts} attempts"
     ) from last

@@ -81,14 +81,14 @@ def plan_for(modulus: int, n: int, omega: int) -> NttPlan:
 
 import os
 
-_PALLAS_NTT = os.environ.get("BZ_PALLAS_NTT", "") not in ("", "0")
+from ..config import config as _config
 # transposed fused butterfly (pallas_kernels.butterfly_stage_T): in the
 # (16, lanes) layout a stage needs NO gathers (groups are contiguous lane
 # slices and the output interleave is a static stack), and the i32 fused
 # mul microbenchmarks ~7x the XLA chunk path — but the sibling MSM fused
 # path regressed end-to-end, so this stays OPT-IN (BZ_PALLAS_NTT_T=1)
 # until the full-NTT number on the chip beats the jnp path.
-_PALLAS_NTT_T = os.environ.get("BZ_PALLAS_NTT_T", "") not in ("", "0")
+
 
 
 def _ntt_T(plan: NttPlan, a, interpret: bool = False):
@@ -134,8 +134,8 @@ def ntt(plan: NttPlan, a):
     spec = plan.spec
     n = plan.n
     batch = a.shape[:-2]
-    use_fused = _PALLAS_NTT and _pallas_ok()
-    if _PALLAS_NTT_T and not use_fused and n >= 512 and _pallas_ok():
+    use_fused = _config().pallas_ntt and _pallas_ok()
+    if _config().pallas_ntt_t and not use_fused and n >= 512 and _pallas_ok():
         return _ntt_T(plan, a)
     a = jnp.take(a, jnp.asarray(plan.rev_idx), axis=-2)
     for stage in range(plan.logn):

@@ -24,6 +24,8 @@ from __future__ import annotations
 
 import os
 
+from ..config import config as _config
+
 import jax
 import numpy as np
 from jax.sharding import Mesh
@@ -47,12 +49,13 @@ def initialize(
     global _INITIALIZED
     if _INITIALIZED:
         return
-    num_processes = num_processes or int(os.environ.get("BZ_NUM_PROCS", "1"))
+    cfg = _config()
+    num_processes = num_processes or cfg.procs
     if num_processes <= 1:
         return
-    coordinator = coordinator or os.environ.get("BZ_COORDINATOR", "127.0.0.1:12807")
+    coordinator = coordinator or cfg.coordinator
     process_id = (
-        process_id if process_id is not None else int(os.environ.get("BZ_PROC_ID", "0"))
+        process_id if process_id is not None else cfg.proc_id
     )
     jax.distributed.initialize(
         coordinator_address=coordinator,

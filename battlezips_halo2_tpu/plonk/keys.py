@@ -184,7 +184,8 @@ def keygen(params: Params, circuit) -> ProvingKey:
     fixed_values = []
     for col in assignment.fixed:
         fixed_values.append([0 if v is None else v % FP.modulus for v in col])
-    if os.environ.get("BZ_NO_SELECTOR_COMPRESS", "") not in ("", "0"):
+    from ..config import config as _config
+    if not _config().selector_compression:
         cs.num_selector_columns = len(cs.selectors)
         cs.selector_assignments = {}
         for sel in assignment.selectors:

@@ -21,8 +21,7 @@ import time
 
 import numpy as np
 
-_TRACE = os.environ.get("BZ_TPU_TRACE", "") not in ("", "0")
-_HOST_QUOTIENT = os.environ.get("BZ_HOST_QUOTIENT", "") not in ("", "0")
+from ..config import config as _config
 
 
 import threading
@@ -53,7 +52,7 @@ class _Phase:
         self.t = time.time()
 
     def mark(self, name: str):
-        if _TRACE:
+        if _config().trace_prover:
             now = time.time()
             print(f"[prover] {name}: {now - self.t:.2f}s", flush=True)
             self.t = now
@@ -304,7 +303,7 @@ def create_proof(
     y = transcript.squeeze_challenge()
 
     # --- quotient over the extended coset ----------------------------------
-    if _HOST_QUOTIENT:
+    if _config().host_quotient:
         ctx = _ExtendedCtx(domain, usable)
         phase.mark("extended ctx (lagrange basis)")
 

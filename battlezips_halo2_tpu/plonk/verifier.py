@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import os
 
+from ..config import config as _config
+
 from ..curves.host import VESTA
 from ..fields.host import FP
 from ..pcs.ipa import Params, commit
@@ -156,7 +158,7 @@ def verify_proof(params: Params, vk: VerifyingKey, proof: bytes, instances: list
     for i in range(1, len(h_commitments)):
         xni[i] = xni[i - 1] * xn % P
     h_collapsed_commitment = _msm(VESTA, h_commitments, xni, prefer_host=True)
-    if os.environ.get("BZ_VERIFY_TRACE"):
+    if _config().trace_verifier:
         print(f"[verify] expected h(x) = {hex(expected_h_eval)} (identity failures surface as multiopen failures)", flush=True)
 
     # --- multiopen (halo2 verifier.rs query order: instance, advice,
@@ -197,7 +199,7 @@ def verify_proof(params: Params, vk: VerifyingKey, proof: bytes, instances: list
     queries.append(VerifierQuery(("random",), random_commitment, x, random_eval))
 
     if not multiopen_verify(params, transcript, queries):
-        if os.environ.get("BZ_VERIFY_TRACE"):
+        if _config().trace_verifier:
             print("[verify] FAIL: multiopen/IPA opening", flush=True)
         return False
     transcript.assert_consumed()

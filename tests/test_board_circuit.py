@@ -157,3 +157,105 @@ def test_invalid_board_commitment():
     failures = run_board(make_board(VALID_0), tamper_commitment=True)
     assert failures
     assert all(isinstance(f, Permutation) for f in failures)
+
+
+# --- exact VerifyFailure parity (VERDICT r2 missing #1) ---------------------
+# Full-strictness mirrors of the reference's structured-failure assertions:
+# the COMPLETE failure vector — gate index+name, constraint index+name,
+# region index+name, offset, and every queried cell's (column, rotation) and
+# value string — must equal the reference's expectation, pinning
+# configure/synthesis ordering (SURVEY §3.5).
+
+from battlezips_halo2_tpu.dev.failures import (
+    ConstraintRef,
+    FailureLocation,
+    GateRef,
+    RegionRef,
+)
+from battlezips_halo2_tpu.plonk.expression import Column, ColumnType
+
+
+def adv(i):
+    return Column(ColumnType.ADVICE, i)
+
+
+def cns(gate_idx, gate_name, c_idx, c_name, r_idx, r_name, offset, cells):
+    return ConstraintNotSatisfied(
+        constraint=ConstraintRef(GateRef(gate_idx, gate_name), c_idx, c_name),
+        location=FailureLocation(RegionRef(r_idx, r_name), offset),
+        cell_values=tuple(((adv(i), 0), v) for i, v in cells),
+    )
+
+
+VALID_1_BOARD = [(3, 4, False), (9, 6, True), (0, 0, False), (0, 6, False), (6, 1, True)]
+
+
+def test_exact_failure_vector_nonconsecutive():
+    """Bit-exact mirror of board.rs:295-346's full VerifyFailure vector."""
+    options = (WitnessOption.NONCONSECUTIVE,) + DEFAULT_WITNESS_OPTIONS[1:]
+    assert run_board(make_board(VALID_0), options) == [
+        cns(15, "running sum constraints", 1, "One full bit window",
+            13, "constrain running sum output", 0, [(2, "0")]),
+    ]
+
+
+def test_exact_failure_vector_extra_bit():
+    """Bit-exact mirror of board.rs:348-399 (6 bits counted for the carrier)."""
+    options = (WitnessOption.EXTRA_BIT,) + DEFAULT_WITNESS_OPTIONS[1:]
+    assert run_board(make_board(VALID_0), options) == [
+        cns(15, "running sum constraints", 0, "Placed ship of correct length",
+            13, "constrain running sum output", 0, [(1, "0x6")]),
+    ]
+
+
+def test_exact_failure_vector_oversized():
+    """Bit-exact mirror of board.rs:401-470 (battleship oversized: 5 bits +
+    2 full windows)."""
+    options = (DEFAULT_WITNESS_OPTIONS[0], WitnessOption.OVERSIZED) + DEFAULT_WITNESS_OPTIONS[2:]
+    assert run_board(make_board(VALID_0), options) == [
+        cns(20, "running sum constraints", 0, "Placed ship of correct length",
+            16, "constrain running sum output", 0, [(1, "0x5")]),
+        cns(20, "running sum constraints", 1, "One full bit window",
+            16, "constrain running sum output", 0, [(2, "0x2")]),
+    ]
+
+
+def test_exact_failure_vector_undersized():
+    """Bit-exact mirror of board.rs:472-540 (destroyer undersized: 1 bit,
+    0 full windows)."""
+    options = DEFAULT_WITNESS_OPTIONS[:4] + (WitnessOption.UNDERSIZED,)
+    assert run_board(make_board(VALID_1_BOARD), options) == [
+        cns(35, "running sum constraints", 0, "Placed ship of correct length",
+            25, "constrain running sum output", 0, [(1, "1")]),
+        cns(35, "running sum constraints", 1, "One full bit window",
+            25, "constrain running sum output", 0, [(2, "0")]),
+    ]
+
+
+def test_exact_failure_vector_collision_no_transpose():
+    """Bit-exact mirror of board.rs:642-733: cruiser at (4,1,H) collides with
+    destroyer at (6,1,H); both transpose-gate constraints fire at offset 16
+    with the exact 11- and 10-cell value vectors."""
+    board = make_board([(3, 3, True), (5, 4, False), (4, 1, False), (0, 5, True), (6, 1, False)])
+    c0_cells = [(i, "1" if i in (4, 8, 10) else "0") for i in range(11)]
+    c1_cells = [(i, "1" if i in (4, 8) else "0") for i in range(10)]
+    assert run_board(board) == [
+        cns(36, "transpose row constraint", 0, "Constrain trace value integrity",
+            26, "Transpose ship commitments", 16, c0_cells),
+        cns(36, "transpose row constraint", 1, "Constrain transposition of bit",
+            26, "Transpose ship commitments", 16, c1_cells),
+    ]
+
+
+def test_exact_failure_vector_collision_transposed():
+    """Bit-exact mirror of board.rs:735-829: destroyer at (6,3,V) collides
+    with battleship at (6,4,H) after transposition; offset 46."""
+    board = make_board([(3, 4, False), (9, 6, True), (0, 0, False), (0, 6, False), (6, 3, True)])
+    c0_cells = [(i, "1" if i in (0, 9, 10) else "0") for i in range(11)]
+    c1_cells = [(i, "1" if i in (0, 9) else "0") for i in range(10)]
+    assert run_board(board) == [
+        cns(36, "transpose row constraint", 0, "Constrain trace value integrity",
+            26, "Transpose ship commitments", 46, c0_cells),
+        cns(36, "transpose row constraint", 1, "Constrain transposition of bit",
+            26, "Transpose ship commitments", 46, c1_cells),
+    ]

@@ -39,3 +39,35 @@ def test_env_flags_match_subsystem_reads(monkeypatch):
 
     assert _lane_block(1 << 20, 1 << 17) <= 4096
     assert config().msm_lanes == 4096
+
+
+def test_mesh_from_config_builds_requested_shape(monkeypatch):
+    """BZ_MESH_DP/TP drive a real jax Mesh (the config system's runtime
+    consumer, parallel/context.py)."""
+    from battlezips_halo2_tpu.parallel.context import mesh_from_config
+
+    monkeypatch.setenv("BZ_MESH_DP", "2")
+    monkeypatch.setenv("BZ_MESH_TP", "4")
+    mesh = mesh_from_config()
+    assert mesh.shape == {"dp": 2, "tp": 4}
+    monkeypatch.delenv("BZ_MESH_DP")
+    monkeypatch.setenv("BZ_MESH_TP", "8")
+    mesh = mesh_from_config()
+    assert mesh.shape == {"dp": 1, "tp": 8}
+
+
+def test_config_is_single_read_point():
+    """No subsystem reads BZ_* env vars directly — config.py is the single
+    read point (VERDICT r2 weak #7)."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "battlezips_halo2_tpu"
+    offenders = []
+    for p in root.rglob("*.py"):
+        if p.name == "config.py":
+            continue
+        for i, line in enumerate(p.read_text().splitlines(), 1):
+            if re.search(r"os\.environ", line):
+                offenders.append(f"{p.relative_to(root)}:{i}")
+    assert not offenders, offenders
