@@ -105,3 +105,95 @@ def distributed_ntt(mesh, n: int, omega: int, a_mont):
     # twiddles: (D, C, 16) with in_spec P(None, AXIS) — each device gets
     # tw[:, its j2 chunk], exactly what the post-transpose layout needs
     return f(a_mont, twiddles)
+
+
+def _geom_vector(n: int, g: int, k: int = 1) -> np.ndarray:
+    """(n, 16) Montgomery vector v[i] = k * g^i — pre/post scaling for the
+    basis transforms (coset shift g^i, 1/n normalization, or both)."""
+    m = FP.modulus
+    r = FP_SPEC.r_mod_p
+    out = np.zeros((n, L.NLIMBS), dtype=np.uint32)
+    acc = k % m
+    for i in range(n):
+        out[i] = int_to_limbs(acc * r % m)
+        acc = acc * g % m
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _compiled_sharded_transform(
+    modulus: int, n: int, omega: int, pre_g: int, post_g: int, post_k: int, mesh_key
+):
+    """One jitted sharded program computing, for a batch of PLAIN-form
+    columns: from_mont( post ∘ NTT_omega ∘ pre ∘ to_mont ) — the common
+    shape of all four prover basis transforms (poly/transforms.py):
+
+        lagrange_to_coeff: omega = w^-1,     pre = 1,    post = 1/n
+        coeff_to_lagrange: omega = w,        pre = 1,    post = 1
+        coeff_to_extended: omega = w_ext,    pre = g^i,  post = 1
+        extended_to_coeff: omega = w_ext^-1, pre = 1,    post = g^-i / n
+
+    The NTT is the 4-step/Bailey decomposition of _compiled_distributed_ntt
+    (3 all_to_alls over the mesh axis); the batch rides a lax.map so peak
+    HBM stays one column's working set per device."""
+    mesh = _MESHES[mesh_key]
+    d = mesh.devices.size
+    c = n // d
+    assert c % d == 0, "n must be divisible by D^2 for the all_to_all layout"
+    plan_d = D_ntt.plan_for(modulus, d, pow(omega, c, modulus))
+    plan_c = D_ntt.plan_for(modulus, c, pow(omega, d, modulus))
+    twiddles = jnp.asarray(_twiddle_table(n, omega, d))
+    pre = jnp.asarray(_geom_vector(n, pre_g))
+    post = jnp.asarray(_geom_vector(n, post_g, post_k))
+
+    def core(a, tw):
+        # a: (C, 16) Montgomery rows of this device — the distributed-NTT body
+        x = a.reshape(d, c // d, L.NLIMBS)
+        x = jax.lax.all_to_all(x, AXIS, split_axis=0, concat_axis=0)
+        x = jnp.moveaxis(x, 0, 1)
+        x = D_ntt.ntt(plan_d, x)
+        x = jnp.moveaxis(x, 1, 0)
+        x = L.mont_mul(FP_SPEC, x, tw)
+        x = jax.lax.all_to_all(x, AXIS, split_axis=0, concat_axis=0)
+        x = x.reshape(c, L.NLIMBS)
+        x = D_ntt.ntt(plan_c, x)
+        x = x.reshape(d, c // d, L.NLIMBS)
+        x = jax.lax.all_to_all(x, AXIS, split_axis=0, concat_axis=0)
+        return jnp.moveaxis(x, 0, 1).reshape(c, L.NLIMBS)
+
+    def local_fn(batch, tw, pre_l, post_l):
+        def one(p):
+            pm = L.mont_mul(FP_SPEC, L.to_mont(FP_SPEC, p), pre_l)
+            x = core(pm, tw)
+            return L.from_mont(FP_SPEC, L.mont_mul(FP_SPEC, x, post_l))
+
+        return jax.lax.map(one, batch)
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(None, AXIS), P(None, AXIS), P(AXIS), P(AXIS)),
+        out_specs=P(None, AXIS),
+        check_rep=False,
+    )
+    return jax.jit(fn), twiddles, pre, post
+
+
+def sharded_transform_batch(
+    mesh, n: int, omega: int, batch_plain, pre_g: int = 1, post_g: int = 1, post_k: int = 1
+):
+    """Apply the sharded basis transform to a (B, n, 16) PLAIN-form limb
+    batch; returns the (B, n, 16) plain-form result. Bit-exact vs the
+    single-device transforms (tests/test_parallel.py)."""
+    mesh_key = tuple(str(dev) for dev in mesh.devices.flat)
+    _MESHES[mesh_key] = mesh
+    f, tw, pre, post = _compiled_sharded_transform(
+        FP.modulus, n, omega, pre_g, post_g, post_k, mesh_key
+    )
+    return f(batch_plain, tw, pre, post)
+
+
+def sharded_transform_supported(mesh, n: int) -> bool:
+    """Shape gate: the 4-step layout needs n divisible by D^2."""
+    d = mesh.devices.size
+    return d > 1 and n % (d * d) == 0

@@ -97,9 +97,31 @@ def _jit_extended_to_coeff(modulus: int, ext: int, ext_omega: int, g_inv: int):
     return f
 
 
+def _maybe_sharded(columns, n, omega, pre_g=1, post_g=1, post_k=1, what="sharded NTT"):
+    """Under an active mesh (parallel/context.py), run the batch through the
+    4-step sharded transform (parallel/ntt.py) — the prover's NTTs then ride
+    the mesh exactly like its commitments ride the sharded MSM. Returns None
+    when no mesh is active or the 4-step layout doesn't fit (n < D^2)."""
+    from ..parallel.context import get_mesh, mesh_is_active
+    from ..parallel.ntt import sharded_transform_batch, sharded_transform_supported
+
+    if not mesh_is_active():
+        return None
+    mesh = get_mesh()
+    if not sharded_transform_supported(mesh, n):
+        return None
+    f = lambda batch: sharded_transform_batch(mesh, n, omega, batch, pre_g, post_g, post_k)
+    return _from_limb_batch(device_call(f, _to_limb_batch(columns), what=what))
+
+
 def batch_lagrange_to_coeff(domain: EvaluationDomain, columns: list[list[int]]) -> list[list[int]]:
     if not columns:
         return []
+    n_inv = pow(domain.n, -1, FP.modulus)
+    omega_inv = pow(domain.omega, -1, FP.modulus)
+    out = _maybe_sharded(columns, domain.n, omega_inv, post_k=n_inv, what="sharded batch iNTT")
+    if out is not None:
+        return out
     f = _jit_lagrange_to_coeff(FP.modulus, domain.n, domain.omega)
     return _from_limb_batch(device_call(f, _to_limb_batch(columns), what="batch iNTT"))
 
@@ -107,6 +129,9 @@ def batch_lagrange_to_coeff(domain: EvaluationDomain, columns: list[list[int]]) 
 def batch_coeff_to_lagrange(domain: EvaluationDomain, polys: list[list[int]]) -> list[list[int]]:
     if not polys:
         return []
+    out = _maybe_sharded(polys, domain.n, domain.omega, what="sharded batch NTT")
+    if out is not None:
+        return out
     f = _jit_coeff_to_lagrange(FP.modulus, domain.n, domain.omega)
     return _from_limb_batch(device_call(f, _to_limb_batch(polys), what="batch NTT"))
 
@@ -116,6 +141,11 @@ def batch_coeff_to_extended(domain: EvaluationDomain, polys: list[list[int]]) ->
         return []
     ext = domain.extended_n
     padded = [list(p) + [0] * (ext - len(p)) for p in polys]
+    out = _maybe_sharded(
+        padded, ext, domain.extended_omega, pre_g=domain.g_coset, what="sharded batch extended NTT"
+    )
+    if out is not None:
+        return out
     f = _jit_coeff_to_extended(FP.modulus, ext, domain.extended_omega, domain.g_coset)
     return _from_limb_batch(device_call(f, _to_limb_batch(padded), what="batch extended NTT"))
 
@@ -123,5 +153,16 @@ def batch_coeff_to_extended(domain: EvaluationDomain, polys: list[list[int]]) ->
 def batch_extended_to_coeff(domain: EvaluationDomain, evals: list[list[int]]) -> list[list[int]]:
     if not evals:
         return []
-    f = _jit_extended_to_coeff(FP.modulus, domain.extended_n, domain.extended_omega, domain.g_coset_inv)
+    ext = domain.extended_n
+    out = _maybe_sharded(
+        evals,
+        ext,
+        pow(domain.extended_omega, -1, FP.modulus),
+        post_g=domain.g_coset_inv,
+        post_k=pow(ext, -1, FP.modulus),
+        what="sharded batch extended iNTT",
+    )
+    if out is not None:
+        return out
+    f = _jit_extended_to_coeff(FP.modulus, ext, domain.extended_omega, domain.g_coset_inv)
     return _from_limb_batch(device_call(f, _to_limb_batch(evals), what="batch extended iNTT"))
