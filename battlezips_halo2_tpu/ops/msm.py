@@ -136,9 +136,12 @@ def _use_fused_T() -> bool:
 #   4. pos[i] = base[d_i] + offs[blk_i, d_i] + rank[i]   (gathers)
 #   5. key_s = scatter(key[i] -> pos[i])                 (unique-index)
 #
-# BZ_NO_MSM_PARTITION=1 falls back to lax.sort; BZ_MSM_HIST picks the
-# histogram flavor: "scatter" (vmapped scatter-add) or "onehot" (compare +
-# reduce, MXU/VPU friendly) — both through config().
+# OPT-IN via BZ_MSM_PARTITION=1: measured on the TPU (2^18, c=13) the
+# partition runs ~260 ms vs ~15 ms for the packed single-u32 lax.sort —
+# the sort was only ever a bottleneck under a degraded relay (r2 readings).
+# Kept as the validated fallback for shapes/backends where a comparison
+# sort misbehaves; BZ_MSM_HIST picks the histogram flavor ("scatter" /
+# "onehot").
 
 
 def _partition_block(n: int) -> int:

@@ -12,7 +12,7 @@ Phases (cumulative, matching ops/msm.py _msm_device_wsums):
   repair   : + lane-boundary Hillis-Steele repair
   full     : entire _msm_device_wsums
 
-Usage: PROF_N=262144 PROF_C=13 [BZ_NO_MSM_PARTITION=1] [BZ_NO_PALLAS_MSM_T=1]
+Usage: PROF_N=262144 PROF_C=13 [BZ_MSM_PARTITION=1] [BZ_NO_PALLAS_MSM_T=1]
        python tools/exp_msm_breakdown.py [phases...]
 """
 
@@ -52,7 +52,7 @@ TOTAL = W * N
 IDX_BITS = max(1, (N - 1).bit_length())
 print(
     f"backend={jax.default_backend()} n={N} c={C} windows={W} rows={TOTAL} "
-    f"partition={'on' if os.environ.get('BZ_NO_MSM_PARTITION','') in ('','0') else 'off'}",
+    f"partition={'on' if os.environ.get('BZ_MSM_PARTITION','') not in ('','0') else 'off'}",
     flush=True,
 )
 
@@ -123,6 +123,50 @@ def gather_part(digits):
     return acc, bx[:64]
 
 
+def pregather_part(digits):
+    """ONE-SHOT gather of points into sorted step-major order, then a scan
+    consuming contiguous slices with trivial math — isolates whether hoisting
+    the gathers out of the scan beats 160 in-scan random gathers."""
+    src_sl, head_sl, target_sl, live_sl, lanes, trash = layout_part(digits)
+    px_all = qx[src_sl]  # (S, lanes, 16) in one gather
+    py_all = qy[src_sl]
+    buckets0 = infinity(SPEC, (trash + 1,))
+
+    def step(carry, xs):
+        acc, bx = carry
+        px, py, head_s, tgt_s = xs
+        acc = jnp.where(head_s[:, None], px, acc ^ px ^ py)
+        bx = bx.at[tgt_s].set(acc)
+        return (acc, bx), None
+
+    init = (jnp.zeros((lanes, 16), jnp.uint32), buckets0.x)
+    (acc, bx), _ = jax.lax.scan(step, init, (px_all, py_all, head_sl, target_sl))
+    return acc, bx[:64]
+
+
+QXY = jnp.concatenate([qx, qy], axis=1)  # (2N, 32) fused x||y table
+
+
+def gatherxy_part(digits):
+    """Fused-table variant: ONE (2N, 32) x||y gather per step instead of two
+    16-wide gathers, and ONE fused 48-wide bucket scatter instead of three —
+    tests whether gather/scatter cost scales with ROW COUNT (not bytes)."""
+    src_sl, head_sl, target_sl, live_sl, lanes, trash = layout_part(digits)
+    buckets0 = jnp.zeros((trash + 1, 48), jnp.uint32)
+
+    def step(carry, xs):
+        acc, b = carry
+        src_s, head_s, tgt_s = xs
+        pxy = QXY[src_s]  # (lanes, 32)
+        acc = jnp.where(head_s[:, None], pxy, acc ^ pxy)
+        b = b.at[tgt_s].set(jnp.concatenate([acc, acc[:, :16]], axis=1))
+        return (acc, b), None
+
+    init = (jnp.zeros((lanes, 32), jnp.uint32), buckets0)
+    (acc, b), _ = jax.lax.scan(step, init, (src_sl, head_sl, target_sl))
+    return acc, b[:64]
+
+
 def full_part(digits):
     return M._msm_device_wsums(SPEC, qx, qy, qinf, digits, C, signed=True)
 
@@ -152,6 +196,14 @@ def timed(name, fn):
 
 
 if __name__ == "__main__":
-    which = sys.argv[1:] or ["sort", "layout", "gather", "full"]
+    which = sys.argv[1:] or ["sort", "layout", "gather", "pregather", "full"]
+    fns = {
+        "sort": sort_part,
+        "layout": layout_part,
+        "gather": gather_part,
+        "pregather": pregather_part,
+        "gatherxy": gatherxy_part,
+        "full": full_part,
+    }
     for w in which:
-        timed(w, {"sort": sort_part, "layout": layout_part, "gather": gather_part, "full": full_part}[w])
+        timed(w, fns[w])
