@@ -27,6 +27,20 @@ P = FP.modulus
 
 
 def verify_proof(params: Params, vk: VerifyingKey, proof: bytes, instances: list[list[int]]) -> bool:
+    """Returns False (never raises) on malformed proof bytes: truncated
+    transcripts, non-canonical scalar reprs, and off-curve point encodings
+    all raise ValueError from the decode layer, which is the analog of
+    halo2's Err(Error::Transcript) from verify_proof — an invalid proof,
+    not a caller error (src/wasm/circuit_wasm.rs:88-112 maps it to false)."""
+    try:
+        return _verify_proof(params, vk, proof, instances)
+    except ValueError as e:
+        if _config().trace_verifier:
+            print(f"[verify] rejected: {e}")
+        return False
+
+
+def _verify_proof(params: Params, vk: VerifyingKey, proof: bytes, instances: list[list[int]]) -> bool:
     cs = vk.cs
     domain = vk.domain
     n = params.n

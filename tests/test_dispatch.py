@@ -9,7 +9,7 @@ from battlezips_halo2_tpu.ops.dispatch import DeviceUnavailable, device_call
 
 
 def test_transient_error_retries(monkeypatch):
-    monkeypatch.setattr(DSP, "_BACKOFF_S", 0.0)
+    monkeypatch.setenv("BZ_DISPATCH_BACKOFF_S", "0")
     calls = []
 
     def flaky(x):
@@ -31,7 +31,7 @@ def test_deterministic_error_propagates():
 
 
 def test_persistent_outage_raises(monkeypatch):
-    monkeypatch.setattr(DSP, "_BACKOFF_S", 0.0)
+    monkeypatch.setenv("BZ_DISPATCH_BACKOFF_S", "0")
     attempts = []
 
     def down(x):
@@ -40,4 +40,6 @@ def test_persistent_outage_raises(monkeypatch):
 
     with pytest.raises(DeviceUnavailable):
         device_call(down, 0, what="test op")
-    assert len(attempts) == DSP._MAX_ATTEMPTS
+    from battlezips_halo2_tpu.config import config
+
+    assert len(attempts) == config().dispatch_retries
