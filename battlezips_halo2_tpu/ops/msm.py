@@ -362,6 +362,16 @@ def _msm_device_wsums(
     live_sl = to_sl(d_of != 0)  # digit-0 rows land in discarded buckets
 
     buckets0 = infinity(spec, (trash + 1,))
+    # fused memory layout (measured on TPU, BENCH_NOTES.md r3): gather and
+    # scatter cost is ROW-COUNT-bound (~40 ns/row regardless of row width),
+    # so the per-step point fetch uses ONE (rows, 32) x||y table gather
+    # instead of two 16-wide gathers, and bucket writes use ONE (·, 48)
+    # x|y|z scatter instead of three — halves the scan's memory phase
+    # (210 -> 110 ms at 2^18). Identity rows are zeroed in the fused table:
+    # (0, 0) is never a valid affine point (y^2 = x^3 + 5), so the all-zero
+    # check replaces a separate 1-bool-per-row qinf gather.
+    qxy = jnp.where(qinf[:, None], 0, jnp.concatenate([qx, qy], axis=1))
+    buckets0_f = jnp.concatenate([buckets0.x, buckets0.y, buckets0.z], axis=1)
 
     use_fused = False
     if config().pallas_msm:
@@ -377,37 +387,31 @@ def _msm_device_wsums(
         from ..curves.limb_t import JacobianPointT
 
         def step(carry, xs):
-            (tx, ty, tz), flag, bx, by, bz = carry  # acc leaves (16, lanes)
+            (tx, ty, tz), flag, b = carry  # acc leaves (16, lanes)
             src_s, head_s, tgt_s, live_s = xs
-            px, py, pinf = qx[src_s], qy[src_s], qinf[src_s]
+            pxy = qxy[src_s]  # (lanes, 32)
+            pinf = jnp.all(pxy == 0, axis=1)
             accT, needs_double = msm_step_T(
-                spec, JacobianPointT(tx, ty, tz), px.T, py.T, pinf, head_s
+                spec, JacobianPointT(tx, ty, tz), pxy[:, :16].T, pxy[:, 16:].T, pinf, head_s
             )
             flag = flag | jnp.any(needs_double & ~head_s & live_s)
-            ax, ay, az = accT.x.T, accT.y.T, accT.z.T
-            bx = bx.at[tgt_s].set(ax)
-            by = by.at[tgt_s].set(ay)
-            bz = bz.at[tgt_s].set(az)
-            return ((accT.x, accT.y, accT.z), flag, bx, by, bz), None
+            b = b.at[tgt_s].set(jnp.concatenate([accT.x.T, accT.y.T, accT.z.T], axis=1))
+            return ((accT.x, accT.y, accT.z), flag, b), None
 
         inf0 = infinity(spec, (lanes,))
-        init = (
-            (inf0.x.T, inf0.y.T, inf0.z.T),
-            jnp.zeros((), bool),
-            buckets0.x,
-            buckets0.y,
-            buckets0.z,
-        )
-        ((tx, ty, tz), collision, bx, by, bz), _ = jax.lax.scan(
+        init = ((inf0.x.T, inf0.y.T, inf0.z.T), jnp.zeros((), bool), buckets0_f)
+        ((tx, ty, tz), collision, b), _ = jax.lax.scan(
             step, init, (src_sl, head_sl, target_sl, live_sl)
         )
         tail = JacobianPoint(tx.T, ty.T, tz.T)
     else:
 
         def step(carry, xs):
-            acc, flag, bx, by, bz = carry
+            acc, flag, b = carry
             src_s, head_s, tgt_s, live_s = xs
-            px, py, pinf = qx[src_s], qy[src_s], qinf[src_s]
+            pxy = qxy[src_s]
+            px, py = pxy[:, :16], pxy[:, 16:]
+            pinf = jnp.all(pxy == 0, axis=1)
             if use_fused:
                 from .pallas_kernels import msm_step_rows
 
@@ -421,22 +425,14 @@ def _msm_device_wsums(
                 pz = jnp.where(pinf[:, None], jnp.zeros((1, 16), jnp.uint32), one[None, :])
                 acc = select_point(head_s, JacobianPoint(px, py, pz), merged)
                 flag = flag | jnp.any(needs_double & ~head_s & live_s)
-            bx = bx.at[tgt_s].set(acc.x)
-            by = by.at[tgt_s].set(acc.y)
-            bz = bz.at[tgt_s].set(acc.z)
-            return (acc, flag, bx, by, bz), None
+            b = b.at[tgt_s].set(jnp.concatenate([acc.x, acc.y, acc.z], axis=1))
+            return (acc, flag, b), None
 
-        init = (
-            infinity(spec, (lanes,)),
-            jnp.zeros((), bool),
-            buckets0.x,
-            buckets0.y,
-            buckets0.z,
-        )
-        (tail, collision, bx, by, bz), _ = jax.lax.scan(
+        init = (infinity(spec, (lanes,)), jnp.zeros((), bool), buckets0_f)
+        (tail, collision, b), _ = jax.lax.scan(
             step, init, (src_sl, head_sl, target_sl, live_sl)
         )
-    buckets = JacobianPoint(bx, by, bz)
+    buckets = JacobianPoint(b[:, :16], b[:, 16:32], b[:, 32:])
 
     # ---- lane-boundary repair -------------------------------------------
     lane_flag = jnp.any(head_sl, axis=0)  # lane contains a segment head
@@ -457,13 +453,11 @@ def _msm_device_wsums(
         jnp.take_along_axis(target_sl, first_last[None, :], axis=0)[0],
         trash,
     )
-    broken = JacobianPoint(buckets.x[tgt_fix], buckets.y[tgt_fix], buckets.z[tgt_fix])
+    broken_f = b[tgt_fix]  # one fused (lanes, 48) gather
+    broken = JacobianPoint(broken_f[:, :16], broken_f[:, 16:32], broken_f[:, 32:])
     fixed = select_point(has_fix, _combine_points(spec, carry_in, broken), broken)
-    buckets = JacobianPoint(
-        buckets.x.at[tgt_fix].set(fixed.x),
-        buckets.y.at[tgt_fix].set(fixed.y),
-        buckets.z.at[tgt_fix].set(fixed.z),
-    )
+    b = b.at[tgt_fix].set(jnp.concatenate([fixed.x, fixed.y, fixed.z], axis=1))
+    buckets = JacobianPoint(b[:, :16], b[:, 16:32], b[:, 32:])
 
     wsums = _aggregate_windows(spec, buckets, w_count, nbuck)
     return wsums, collision

@@ -171,6 +171,22 @@ def full_part(digits):
     return M._msm_device_wsums(SPEC, qx, qy, qinf, digits, C, signed=True)
 
 
+from battlezips_halo2_tpu.fields import limb as FL
+from battlezips_halo2_tpu.fields.limb import FP_SPEC
+
+
+def derive_part(digits):
+    """The bench body's per-variant scalar derivation (bench.py bench_msm):
+    mont_mul by a rho power + from_mont + signed_digits_device — measures the
+    non-MSM overhead inside the chained bench graph."""
+    seed = jnp.sum(digits[0, :8].astype(jnp.uint32))
+    base = jnp.broadcast_to((seed % 7 + 1).astype(jnp.uint32), (N, 16))
+    sc_mont = FL.mont_mul(FP_SPEC, base, base)
+    sc = FL.from_mont(FP_SPEC, sc_mont)
+    d = M.signed_digits_device(sc, C)
+    return jnp.sum(d.astype(jnp.uint32))
+
+
 def timed(name, fn):
     def chained(seed):
         def body(carry, i):
@@ -203,6 +219,7 @@ if __name__ == "__main__":
         "gather": gather_part,
         "pregather": pregather_part,
         "gatherxy": gatherxy_part,
+        "derive": derive_part,
         "full": full_part,
     }
     for w in which:
