@@ -71,18 +71,18 @@ def _fold_consts(modulus: int, lo_lanes: int, hi_lanes: int):
 
 @functools.lru_cache(maxsize=None)
 def _w8_planes(modulus: int, w_key: tuple, mont: bool = True):
-    """Constant Fp matrix (rows of ints) -> (32, K', K) bf16 chunk planes.
-    ``mont=True`` pre-multiplies by R so Montgomery form is preserved."""
-    w = np.array(w_key, dtype=object)
-    kp, k = w.shape
-    r = pow(2, 256, modulus)
-    out = np.zeros((NCHUNK, kp, k), dtype=np.float32)
-    for j in range(kp):
-        for i in range(k):
-            v = (int(w[j, i]) * r) % modulus if mont else int(w[j, i]) % modulus
-            for u in range(NCHUNK):
-                out[u, j, i] = (v >> (8 * u)) & 0xFF
-    return out  # numpy (bf16 cast at use site); see _fold_consts note
+    """Constant Fp matrix (rows of ints) -> (32, K', K) f32 chunk planes.
+    ``mont=True`` pre-multiplies by R so Montgomery form is preserved.
+    Bulk byte extraction (one bytes blob -> frombuffer), not a per-element
+    loop — K' = K = 1024 means a million entries."""
+    r = pow(2, 256, modulus) if mont else 1
+    kp = len(w_key)
+    k = len(w_key[0])
+    blob = b"".join(
+        (int(v) * r % modulus).to_bytes(32, "little") for row in w_key for v in row
+    )
+    chunks = np.frombuffer(blob, dtype=np.uint8).reshape(kp, k, NCHUNK)
+    return np.ascontiguousarray(np.moveaxis(chunks, -1, 0)).astype(np.float32)
 
 
 def _to_chunks8_cols(a):
@@ -205,14 +205,16 @@ class NttMMPlan:
         self.w2 = _w_matrix(pow(omega, self.n1, p), self.n2, p)  # column NTTs
         self.w1 = _w_matrix(pow(omega, self.n2, p), self.n1, p)  # row NTTs
         r = spec.r_mod_p
-        tw = np.zeros((self.n2, self.n1, NLIMBS), np.uint32)
+        vals = []
         for k2 in range(self.n2):
             wk2 = pow(omega, k2, p)
-            v = 1  # omega^{i1·k2}
+            v = r  # omega^{i1·k2} in Montgomery form
             for i1 in range(self.n1):
-                tw[k2, i1] = int_to_limbs(v * r % p)
+                vals.append(v)
                 v = v * wk2 % p
-        self.twiddle_mont = tw
+        from ..fields.limb import ints_to_limbs
+
+        self.twiddle_mont = ints_to_limbs(vals).reshape(self.n2, self.n1, NLIMBS)
 
 
 @functools.lru_cache(maxsize=None)

@@ -146,44 +146,79 @@ def bench_msm(log_size: int, iters: int):
 
 
 def bench_ntt(log_size: int, iters: int):
-    from battlezips_halo2_tpu.fields import FP, FP_SPEC, ints_to_limbs
+    """Honest in-graph chained timing (BENCH_NOTES.md methodology): every
+    variant derives fresh Montgomery values on device (base · rho_k — the
+    relay memoizes on VALUES and ignores block_until_ready), K reps chain
+    inside one executable with a mixing fold, wall/K is the per-NTT time.
+
+    Correctness gate: one variant's transform is recomputed exactly and
+    compared to the host NTT before timing."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from battlezips_halo2_tpu.fields import FP, FP_SPEC, ints_to_limbs, limbs_to_ints
     from battlezips_halo2_tpu.fields import limb as L
     from battlezips_halo2_tpu.ops import ntt as D
-    from battlezips_halo2_tpu.poly.domain import EvaluationDomain
+    from battlezips_halo2_tpu.poly.domain import EvaluationDomain, ntt_host
 
     n = 1 << log_size
     dom = EvaluationDomain(log_size, 2)
     rng = random.Random(3)
     vals = [rng.randrange(FP.modulus) for _ in range(n)]
-    a = L.to_mont(FP_SPEC, ints_to_limbs(vals))
+    base_mont = jnp.asarray(L.to_mont(FP_SPEC, ints_to_limbs(vals)))
     plan = D.plan_for(FP.modulus, n, dom.omega)
-    f = jax.jit(lambda x: D.ntt(plan, x))
-    variants = [a]
-    for _ in range(max(1, iters - 1)):
-        vv = [rng.randrange(FP.modulus) for _ in range(n)]
-        variants.append(L.to_mont(FP_SPEC, ints_to_limbs(vv)))
-    out = f(a)
-    jax.block_until_ready(out)
-    # correctness gate on a small prefix domain
-    from battlezips_halo2_tpu.poly.domain import ntt_host
-    from battlezips_halo2_tpu.fields import limbs_to_ints
-    import numpy as _np
-    got = limbs_to_ints(_np.asarray(L.from_mont(FP_SPEC, out)))
-    assert got == ntt_host(vals, dom.omega), "device NTT mismatch vs host"
-    times = []
-    for i in range(iters):
+    K = max(2, iters)
+
+    def rho_stack(seed):
+        r = random.Random(seed)
+        rhos = [r.randrange(1, FP.modulus) for _ in range(K)]
+        return rhos, jnp.asarray(
+            np.stack([L.int_to_limbs(v * FP_SPEC.r_mod_p % FP.modulus) for v in rhos])
+        )
+
+    @jax.jit
+    def chained(base, rho_monts):
+        def body(carry, rho):
+            x = L.mont_mul(FP_SPEC, base, jnp.broadcast_to(rho, base.shape))
+            out = D.ntt(plan, x)
+            return carry + jnp.sum(out.astype(jnp.uint32)), None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.uint32), rho_monts)
+        return acc
+
+    # correctness gate: variant 0 recomputed exactly vs the host NTT
+    rhos, rho_monts = rho_stack(1)
+    v0 = [v * rhos[0] % FP.modulus for v in vals]
+    out0 = np.asarray(
+        jax.jit(lambda b, r: D.ntt(plan, L.mont_mul(FP_SPEC, b, jnp.broadcast_to(r, b.shape))))(
+            base_mont, rho_monts[0]
+        )
+    )
+    got = limbs_to_ints(np.asarray(L.from_mont(FP_SPEC, out0)))
+    assert got == ntt_host(v0, dom.omega), "device NTT mismatch vs host"
+
+    t0 = time.time()
+    np.asarray(chained(base_mont, rho_monts))
+    compile_and_first = time.time() - t0
+    best = None
+    for seed in (2, 3):
+        _, rm = rho_stack(seed)
         t0 = time.time()
-        out = f(variants[i % len(variants)])
-        jax.block_until_ready(out)
-        times.append(time.time() - t0)
-    elapsed = sum(times) / len(times)
+        np.asarray(chained(base_mont, rm))
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    elapsed = best / K
     eps = n / elapsed
     return {
         "metric": f"ntt_elements_per_sec_2^{log_size}",
         "value": round(eps, 1),
         "unit": "elements/s/chip",
         "vs_baseline": round(eps / REF_CPU_NTT_EPS, 3),
-        "detail": {"seconds_per_ntt": round(elapsed, 5), "backend": jax.default_backend()},
+        "detail": {
+            "seconds_per_ntt": round(elapsed, 5),
+            "first_call_s": round(compile_and_first, 1),
+            "backend": jax.default_backend(),
+        },
     }
 
 
