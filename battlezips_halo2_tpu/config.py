@@ -20,6 +20,7 @@ Environment flags:
 | BZ_PALLAS_MSM / BZ_PALLAS_NTT | pallas_msm / pallas_ntt | legacy row-layout fused kernels (opt-in) |
 | BZ_NO_PALLAS_MSM_T | pallas_msm_t (inverted) | fused transposed MSM scan step (default ON on TPU) |
 | BZ_PALLAS_NTT_T | pallas_ntt_t | fused transposed NTT butterfly (opt-in) |
+| BZ_NTT_MM | ntt_mm | matmul (MXU 4-step) NTT: auto/on/off |
 | BZ_MSM_PARTITION | msm_partition | counting partition instead of lax.sort (opt-in; measured SLOWER on TPU: 260 ms vs 15 ms @2^18, BENCH_NOTES.md) |
 | BZ_MSM_HIST | msm_hist | partition histogram flavor: scatter / onehot |
 | BZ_MSM_LANES | msm_lanes | serial-scan lane cap |
@@ -73,6 +74,7 @@ class FrameworkConfig:
     pallas_ntt: bool = False
     pallas_msm_t: bool = True
     pallas_ntt_t: bool = False
+    ntt_mm: str = "auto"  # "auto" | "on" | "off" — matmul (MXU 4-step) NTT
     msm_partition: bool = False
     msm_hist: str = "scatter"
     msm_lanes: int = 32768
@@ -105,6 +107,7 @@ class FrameworkConfig:
             pallas_ntt=_flag("BZ_PALLAS_NTT"),
             pallas_msm_t=not _flag("BZ_NO_PALLAS_MSM_T"),
             pallas_ntt_t=_flag("BZ_PALLAS_NTT_T"),
+            ntt_mm=os.environ.get("BZ_NTT_MM", "auto"),
             msm_partition=_flag("BZ_MSM_PARTITION"),
             msm_hist=os.environ.get("BZ_MSM_HIST", "scatter"),
             msm_lanes=int(os.environ.get("BZ_MSM_LANES", "32768")),

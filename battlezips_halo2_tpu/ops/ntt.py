@@ -82,6 +82,10 @@ def plan_for(modulus: int, n: int, omega: int) -> NttPlan:
 import os
 
 from ..config import config as _config
+
+# measured crossover on TPU v5e (tools/exp_ntt_variants.py, BENCH_NOTES.md):
+# set high until the on-chip numbers justify flipping; "BZ_NTT_MM=on" forces
+_NTT_MM_MIN_N = 1 << 30
 # transposed fused butterfly (pallas_kernels.butterfly_stage_T): in the
 # (16, lanes) layout a stage needs NO gathers (groups are contiguous lane
 # slices and the output interleave is a static stack), and the i32 fused
@@ -134,6 +138,13 @@ def ntt(plan: NttPlan, a):
     spec = plan.spec
     n = plan.n
     batch = a.shape[:-2]
+    mm_mode = _config().ntt_mm
+    if mm_mode == "on" or (mm_mode == "auto" and n >= _NTT_MM_MIN_N and _pallas_ok()):
+        # matmul 4-step path: MXU-bound instead of gather/HBM-bound — the
+        # default on TPU for sizes where it wins (tools/exp_ntt_variants.py)
+        from .ntt_mm import mm_plan_for, ntt_mm
+
+        return ntt_mm(mm_plan_for(spec.modulus, n, plan.omega), a)
     use_fused = _config().pallas_ntt and _pallas_ok()
     if _config().pallas_ntt_t and not use_fused and n >= 512 and _pallas_ok():
         return _ntt_T(plan, a)

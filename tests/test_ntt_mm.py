@@ -120,3 +120,21 @@ def test_ntt_mm_matches_butterfly_path():
     bf = np.asarray(jax.jit(lambda x: D.ntt(D.plan_for(P, n, dom.omega), x))(am))
     mm = np.asarray(jax.jit(lambda x: ntt_mm(mm_plan_for(P, n, dom.omega), x))(am))
     assert bf.tolist() == mm.tolist()
+
+
+def test_ntt_route_flag_matches(monkeypatch):
+    """BZ_NTT_MM=on routes ops.ntt.ntt through the matmul path with
+    identical results (the flip lever for tools/exp_ntt_variants.py)."""
+    from battlezips_halo2_tpu.ops import ntt as D
+
+    rng = random.Random(8)
+    n = 256
+    dom = EvaluationDomain(8, 2)
+    vals = [rng.randrange(P) for _ in range(n)]
+    am = L.to_mont(FP_SPEC, L.ints_to_limbs(vals))
+    plan = D.plan_for(P, n, dom.omega)
+    monkeypatch.setenv("BZ_NTT_MM", "off")
+    bf = np.asarray(jax.jit(lambda x: D.ntt(plan, x))(am))
+    monkeypatch.setenv("BZ_NTT_MM", "on")
+    mm = np.asarray(jax.jit(lambda x: D.ntt(plan, x))(am))
+    assert bf.tolist() == mm.tolist()
