@@ -1,0 +1,268 @@
+#!/usr/bin/env python
+"""BASELINE.md config 5 across processes: a batched game session sharded
+over N>=2 jax.distributed processes (the DCN analog of a multi-host pod),
+end-to-end proofs/sec.
+
+Each process proves the board+shot jobs whose index lands on its rank
+(proof-batch DP — the axis is embarrassingly parallel, exactly how a real
+multi-host deployment shards a proving service; the reference's only
+parallel runtime is a single-process rayon pool, Cargo.lock:392). Proof
+BYTES are then exchanged through the jax comm backend itself (a uint8 psum
+over the global gloo/ICI mesh — not a filesystem side channel): proof
+lengths are static per circuit (plonk/format.proof_size, pinned by
+tests/golden), each job is one fixed-size row, rows a rank didn't prove are
+zero, and the all-reduce superimposes the shards. Rank 0 then verifies
+every proof and reports end-to-end proofs/sec.
+
+Seeded blinding makes the proofs bit-identical to a single-process run,
+which rank 0 asserts for board job 0 when --check-identity is set.
+
+Launcher:  python tools/multihost_session.py [--procs 2] [--games 2] [--shots 4]
+Worker:    (spawned with BZ_PROC_ID/BZ_NUM_PROCS/BZ_COORDINATOR set)
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+PLACEMENTS = [
+    [(0, 0, False), (0, 1, False), (0, 2, False), (0, 3, False), (0, 4, False)],
+    [(3, 3, True), (5, 4, False), (0, 1, False), (5, 6, True), (6, 1, False)],
+    [(1, 8, False), (2, 2, True), (7, 0, True), (4, 5, False), (9, 3, True)],
+    [(5, 0, False), (0, 5, True), (2, 7, False), (8, 4, True), (3, 1, False)],
+]
+
+
+def worker(games: int, shots: int, seed: int, check_identity: bool) -> None:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import random
+
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from battlezips_halo2_tpu import api
+    from battlezips_halo2_tpu.api import _board_keys, _shot_keys
+    from battlezips_halo2_tpu.parallel import distributed as dist
+    from battlezips_halo2_tpu.parallel.collectives import AXIS
+    from battlezips_halo2_tpu.plonk.format import proof_size
+    from battlezips_halo2_tpu.utils.board import Board
+    from battlezips_halo2_tpu.utils.deck import Deck
+
+    dist.initialize()
+    rank, nproc = jax.process_index(), jax.process_count()
+    assert nproc == int(os.environ["BZ_NUM_PROCS"])
+
+    def barrier(name: str, timeout_s: int = 3600) -> None:
+        """Skew-tolerant rendezvous on the coordination service. Proof jobs
+        take minutes and ranks finish at different times; gloo context init
+        (first collective) times out after 30s of skew, so every collective
+        below is preceded by this barrier."""
+        from jax._src import distributed as _distributed
+
+        client = _distributed.global_state.client
+        client.wait_at_barrier(name, timeout_in_ms=timeout_s * 1000)
+
+    # ---- job list: identical on every process (same index->rng derivation
+    # as api.prove_session so seeded proofs are bit-identical to it) --------
+    game_list = [PLACEMENTS[g % len(PLACEMENTS)] for g in range(games)]
+    trapdoors = [
+        random.Random(f"bz-mh-td:{seed}:{g}").randrange(1, 1 << 254) for g in range(games)
+    ]
+
+    def job_rng(idx):
+        return random.Random(f"bz-session:{seed}:{idx}")
+
+    board_jobs, shot_jobs = [], []
+    for gi, ships in enumerate(game_list):
+        board_jobs.append((ships, trapdoors[gi]))
+        state = Board.from_deck(Deck.from_placements(ships)).state()
+        for si in range(shots):
+            x, y = si % 10, (si * 3 + gi) % 10
+            shot_jobs.append((state, trapdoors[gi], (x, y), bool(state.bit(y * 10 + x))))
+
+    t0 = time.time()
+    # ---- DP across processes: rank r proves jobs with index % nproc == r --
+    # (keygen/pk-artifact warmup happens lazily inside the first prove)
+    my_boards = {
+        i: api.prove_board(j[0], j[1], rng=job_rng(i))
+        for i, j in enumerate(board_jobs)
+        if i % nproc == rank
+    }
+    my_shots = {
+        i: api.prove_shot(*j, rng=job_rng(1_000_000 + i))
+        for i, j in enumerate(shot_jobs)
+        if (len(board_jobs) + i) % nproc == rank
+    }
+    prove_s = time.time() - t0
+    print(
+        f"[proc {rank}/{nproc}] proved {len(my_boards)} boards + {len(my_shots)} shots "
+        f"in {prove_s:.1f}s",
+        flush=True,
+    )
+
+    # ---- exchange proof bytes over the comm backend ------------------------
+    def allsum(rows: np.ndarray) -> np.ndarray:
+        """Cross-process uint8 element sum (disjoint support per rank)."""
+        import jax.numpy as jnp
+
+        mesh = dist.global_mesh()
+        local = jax.local_device_count()
+        # every local device carries this process's copy; psum over ALL
+        # devices then counts each process `local` times — divide it out.
+        stacked = np.ascontiguousarray(
+            np.broadcast_to(rows.astype(np.uint32), (local, *rows.shape))
+        )
+        arr = jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P(AXIS)), stacked
+        )
+        out = jax.jit(
+            jax.shard_map(
+                lambda s: jax.lax.psum(s[0], AXIS), mesh=mesh, in_specs=P(AXIS), out_specs=P()
+            )
+        )(arr)
+        total = np.asarray(jax.device_get(out.addressable_shards[0].data))
+        assert total.shape == rows.shape
+        return (total // local).astype(np.uint8)
+
+    def _instances(pr):
+        if hasattr(pr, "shot"):
+            return [pr.commitment[0], pr.commitment[1], pr.shot, pr.hit]
+        return [pr.commitment[0], pr.commitment[1]]
+
+    def rows_for(proofs_by_idx, njobs, plen, inst_words):
+        rows = np.zeros((njobs, plen + inst_words * 32), np.uint8)
+        for i, pr in proofs_by_idx.items():
+            assert len(pr.proof) == plen, (len(pr.proof), plen)
+            inst = b"".join(int(w).to_bytes(32, "little") for w in _instances(pr))
+            rows[i] = np.frombuffer(bytes(pr.proof) + inst, np.uint8)
+        return rows
+
+    bparams, bpk = _board_keys()
+    sparams, spk = _shot_keys()
+    b_plen = proof_size(bpk.vk, bparams)
+    s_plen = proof_size(spk.vk, sparams)
+
+    barrier("bz_session_proofs_done")
+    board_rows = allsum(rows_for(my_boards, len(board_jobs), b_plen, 2))
+    shot_rows = allsum(rows_for(my_shots, len(shot_jobs), s_plen, 4))
+    wall = time.time() - t0
+
+    if check_identity:
+        # EVERY rank re-proves board job 0 (concurrently, so no rank sits
+        # at the distributed shutdown barrier for minutes) and checks the
+        # gathered bytes match — seeded proofs are process-placement
+        # independent.
+        ref = api.prove_board(board_jobs[0][0], board_jobs[0][1], rng=job_rng(0))
+        assert bytes(board_rows[0][:b_plen]) == ref.proof, (
+            f"rank {rank}: gathered proof != independently re-proven seeded proof"
+        )
+        print(f"[proc {rank}] identity check ok", flush=True)
+
+    if rank == 0:
+        n_proofs = len(board_jobs) + len(shot_jobs)
+        ok = True
+        for i in range(len(board_jobs)):
+            raw = board_rows[i]
+            proof = bytes(raw[:b_plen])
+            cx = int.from_bytes(bytes(raw[b_plen : b_plen + 32]), "little")
+            cy = int.from_bytes(bytes(raw[b_plen + 32 :]), "little")
+            ok &= api.verify_board(api.BoardProof(commitment=(cx, cy), proof=proof))
+        for i in range(len(shot_jobs)):
+            raw = shot_rows[i]
+            proof = bytes(raw[:s_plen])
+            w = [
+                int.from_bytes(bytes(raw[s_plen + 32 * k : s_plen + 32 * (k + 1)]), "little")
+                for k in range(4)
+            ]
+            ok &= api.verify_shot(
+                api.ShotProof(commitment=(w[0], w[1]), shot=w[2], hit=bool(w[3]), proof=proof)
+            )
+        assert ok, "a gathered proof failed verification on rank 0"
+        print(
+            json.dumps(
+                {
+                    "metric": f"multihost_session_proofs_per_sec_{games}g{shots}s_{nproc}p",
+                    "value": round(n_proofs / wall, 4),
+                    "unit": "proofs/s",
+                    "detail": {
+                        "processes": nproc,
+                        "n_proofs": n_proofs,
+                        "wall_s": round(wall, 1),
+                        "backend": "cpu+gloo",
+                        "all_verified": True,
+                    },
+                }
+            ),
+            flush=True,
+        )
+    # exit-sync: ranks reach the jax shutdown barrier together even if
+    # rank 0's verification pass took a while.
+    barrier("bz_session_exit")
+
+
+def launch(procs: int, games: int, shots: int, seed: int, check_identity: bool) -> int:
+    port = 12830 + (os.getpid() % 997)
+    env_base = {
+        **os.environ,
+        "BZ_COORDINATOR": f"127.0.0.1:{port}",
+        "BZ_NUM_PROCS": str(procs),
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": (
+            os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
+        ).strip(),
+    }
+    children = []
+    for rank in range(procs):
+        env = {**env_base, "BZ_PROC_ID": str(rank)}
+        cmd = [
+            sys.executable,
+            os.path.abspath(__file__),
+            "--worker",
+            "--games",
+            str(games),
+            "--shots",
+            str(shots),
+            "--seed",
+            str(seed),
+        ]
+        if check_identity:
+            cmd.append("--check-identity")
+        children.append(subprocess.Popen(cmd, env=env))
+    deadline = time.time() + 3600
+    rc = 0
+    for p in children:
+        remaining = max(1, int(deadline - time.time()))
+        try:
+            rc |= p.wait(timeout=remaining)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            rc |= 1
+    print("multihost_session:", "OK" if rc == 0 else f"FAILED rc={rc}", flush=True)
+    return rc
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worker", action="store_true")
+    ap.add_argument("--procs", type=int, default=2)
+    ap.add_argument("--games", type=int, default=2)
+    ap.add_argument("--shots", type=int, default=4)
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--check-identity", action="store_true")
+    args = ap.parse_args()
+    if args.worker:
+        worker(args.games, args.shots, args.seed, args.check_identity)
+    else:
+        sys.exit(launch(args.procs, args.games, args.shots, args.seed, args.check_identity))
