@@ -23,6 +23,7 @@ Environment flags:
 | BZ_NTT_MM | ntt_mm | matmul (MXU 4-step) NTT: auto/on/off |
 | BZ_MSM_PARTITION | msm_partition | counting partition instead of lax.sort (opt-in; measured SLOWER on TPU: 260 ms vs 15 ms @2^18, BENCH_NOTES.md) |
 | BZ_MSM_HIST | msm_hist | partition histogram flavor: scatter / onehot |
+| BZ_MSM_EMIT | msm_emit | bucket emit: dense (default) / scatter |
 | BZ_MSM_LANES | msm_lanes | serial-scan lane cap |
 | BZ_DISPATCH_RETRIES / BZ_DISPATCH_BACKOFF_S | dispatch_retries / dispatch_backoff_s | transient-failure retry policy |
 | BZ_SESSION_WORKERS / BZ_SESSION_DP | session_workers / session_dp | api.prove_session pipelining / DP defaults |
@@ -77,6 +78,7 @@ class FrameworkConfig:
     ntt_mm: str = "auto"  # "auto" | "on" | "off" — matmul (MXU 4-step) NTT
     msm_partition: bool = False
     msm_hist: str = "scatter"
+    msm_emit: str = "dense"  # "dense" (scan-output emit + sort compaction) | "scatter"
     msm_lanes: int = 32768
 
     # dispatch robustness
@@ -110,6 +112,7 @@ class FrameworkConfig:
             ntt_mm=os.environ.get("BZ_NTT_MM", "auto"),
             msm_partition=_flag("BZ_MSM_PARTITION"),
             msm_hist=os.environ.get("BZ_MSM_HIST", "scatter"),
+            msm_emit=os.environ.get("BZ_MSM_EMIT", "dense"),
             msm_lanes=int(os.environ.get("BZ_MSM_LANES", "32768")),
             dispatch_retries=int(os.environ.get("BZ_DISPATCH_RETRIES", "3")),
             dispatch_backoff_s=float(os.environ.get("BZ_DISPATCH_BACKOFF_S", "2.0")),

@@ -37,7 +37,7 @@ from ..curves.limb import (
     select_point,
 )
 from ..fields import limb as L
-from ..fields.limb import FieldSpec
+from ..fields.limb import FieldSpec, int_to_limbs
 
 WINDOW_BITS = 8
 SCALAR_BITS = 256
@@ -255,6 +255,36 @@ def _hillis_steele_scan(spec: FieldSpec, pts: JacobianPoint, head, levels: int):
     return out
 
 
+def _dense_buckets(ys, fused_layout: bool, k_s, is_last, w_count: int, nbuck: int, s_steps: int, buckets0_f):
+    """Extract bucket values from densely-emitted scan outputs.
+
+    ys holds every sorted row's post-add accumulator ((S, 48, lanes) in the
+    fused transposed layout, (S, lanes, 48) otherwise); the value of bucket
+    (w, d) is ys at the sorted position of that bucket's LAST row. Those
+    positions are found with one packed sort (is_last rows keyed by bucket
+    id k_s, everything else pushed past the end) — sorts are dense bitonic
+    networks and cost ~nothing next to per-row scatters — followed by a
+    W·nbuck-row scatter of positions and ONE W·nbuck-row gather of values.
+    Empty buckets keep the identity row from buckets0_f."""
+    total_rows = k_s.shape[0]
+    trash = w_count * (nbuck + 1)
+    big = jnp.int32(w_count * nbuck)
+    keys = jnp.where(is_last, k_s.astype(jnp.int32), big)
+    pos = jnp.arange(total_rows, dtype=jnp.int32)
+    sortk, sortpos = jax.lax.sort((keys, pos), num_keys=1)
+    m = w_count * nbuck
+    sel_k, sel_p = sortk[:m], sortpos[:m]
+    valid = sel_k < big
+    tgt = jnp.where(valid, (sel_k // nbuck) * (nbuck + 1) + sel_k % nbuck, trash)
+    pos_arr = jnp.full((trash + 1,), total_rows, jnp.int32)
+    pos_arr = pos_arr.at[tgt].set(jnp.where(valid, sel_p, total_rows))
+    safe = pos_arr < total_rows
+    lane_i = jnp.where(safe, pos_arr // s_steps, 0)
+    s_i = jnp.where(safe, pos_arr % s_steps, 0)
+    rows = ys[s_i, :, lane_i] if fused_layout else ys[s_i, lane_i, :]
+    return jnp.where(safe[:, None], rows, buckets0_f[:1])
+
+
 def _lane_block(n_rows: int, n_points: int) -> int:
     """Number of vector lanes for the serial bucket accumulation. Power of
     two, divides n_rows (n_points is a power of two and windows * n_points =
@@ -382,33 +412,64 @@ def _msm_device_wsums(
     # astronomically rare and stays on the jnp formulation)
     fused_T = (not complete) and (not use_fused) and _use_fused_T()
 
+    # dense-emit mode (default): gather/scatter cost is per-ROW, so the
+    # per-step bucket SCATTER (total_rows scatter-rows over the scan) is
+    # ~1/3 of the scan's wall. Instead every step emits its acc densely as
+    # a stacked scan output (vectorized stores, bandwidth-bound), and the
+    # bucket values are pulled out afterwards: one extra packed sort finds
+    # each bucket's last-row position, then ONE (buckets)-row gather reads
+    # the values — W·nbuck ≈ rows/64 rows instead of `rows` scatter-rows.
+    dense = (
+        config().msm_emit != "scatter"
+        and w_count * nbuck <= total_rows
+        and total_rows * 48 * 4 <= (3 << 30)  # ys buffer cap
+    )
+
     if fused_T:
         from .pallas_kernels import msm_step_T
         from ..curves.limb_t import JacobianPointT
 
         def step(carry, xs):
-            (tx, ty, tz), flag, b = carry  # acc leaves (16, lanes)
-            src_s, head_s, tgt_s, live_s = xs
+            (tx, ty, tz), flag = carry if dense else carry[:2]
+            b = None if dense else carry[2]
+            if dense:
+                src_s, head_s, live_s = xs
+            else:
+                src_s, head_s, tgt_s, live_s = xs
             pxy = qxy[src_s]  # (lanes, 32)
             pinf = jnp.all(pxy == 0, axis=1)
             accT, needs_double = msm_step_T(
                 spec, JacobianPointT(tx, ty, tz), pxy[:, :16].T, pxy[:, 16:].T, pinf, head_s
             )
             flag = flag | jnp.any(needs_double & ~head_s & live_s)
+            if dense:
+                emit = jnp.concatenate([accT.x, accT.y, accT.z], axis=0)  # (48, lanes)
+                return ((accT.x, accT.y, accT.z), flag), emit
             b = b.at[tgt_s].set(jnp.concatenate([accT.x.T, accT.y.T, accT.z.T], axis=1))
             return ((accT.x, accT.y, accT.z), flag, b), None
 
         inf0 = infinity(spec, (lanes,))
-        init = ((inf0.x.T, inf0.y.T, inf0.z.T), jnp.zeros((), bool), buckets0_f)
-        ((tx, ty, tz), collision, b), _ = jax.lax.scan(
-            step, init, (src_sl, head_sl, target_sl, live_sl)
-        )
+        if dense:
+            init = ((inf0.x.T, inf0.y.T, inf0.z.T), jnp.zeros((), bool))
+            ((tx, ty, tz), collision), ys = jax.lax.scan(
+                step, init, (src_sl, head_sl, live_sl)
+            )
+            b = _dense_buckets(ys, True, k_s, is_last, w_count, nbuck, s_steps, buckets0_f)
+        else:
+            init = ((inf0.x.T, inf0.y.T, inf0.z.T), jnp.zeros((), bool), buckets0_f)
+            ((tx, ty, tz), collision, b), _ = jax.lax.scan(
+                step, init, (src_sl, head_sl, target_sl, live_sl)
+            )
         tail = JacobianPoint(tx.T, ty.T, tz.T)
     else:
 
         def step(carry, xs):
-            acc, flag, b = carry
-            src_s, head_s, tgt_s, live_s = xs
+            if dense:
+                acc, flag = carry
+                src_s, head_s, live_s = xs
+            else:
+                acc, flag, b = carry
+                src_s, head_s, tgt_s, live_s = xs
             pxy = qxy[src_s]
             px, py = pxy[:, :16], pxy[:, 16:]
             pinf = jnp.all(pxy == 0, axis=1)
@@ -425,13 +486,21 @@ def _msm_device_wsums(
                 pz = jnp.where(pinf[:, None], jnp.zeros((1, 16), jnp.uint32), one[None, :])
                 acc = select_point(head_s, JacobianPoint(px, py, pz), merged)
                 flag = flag | jnp.any(needs_double & ~head_s & live_s)
+            if dense:
+                emit = jnp.concatenate([acc.x, acc.y, acc.z], axis=1)  # (lanes, 48)
+                return (acc, flag), emit
             b = b.at[tgt_s].set(jnp.concatenate([acc.x, acc.y, acc.z], axis=1))
             return (acc, flag, b), None
 
-        init = (infinity(spec, (lanes,)), jnp.zeros((), bool), buckets0_f)
-        (tail, collision, b), _ = jax.lax.scan(
-            step, init, (src_sl, head_sl, target_sl, live_sl)
-        )
+        if dense:
+            init = (infinity(spec, (lanes,)), jnp.zeros((), bool))
+            (tail, collision), ys = jax.lax.scan(step, init, (src_sl, head_sl, live_sl))
+            b = _dense_buckets(ys, False, k_s, is_last, w_count, nbuck, s_steps, buckets0_f)
+        else:
+            init = (infinity(spec, (lanes,)), jnp.zeros((), bool), buckets0_f)
+            (tail, collision, b), _ = jax.lax.scan(
+                step, init, (src_sl, head_sl, target_sl, live_sl)
+            )
     buckets = JacobianPoint(b[:, :16], b[:, 16:32], b[:, 32:])
 
     # ---- lane-boundary repair -------------------------------------------
@@ -637,6 +706,59 @@ def signed_digits_device(limbs_canonical, c: int):
         digits.append(jnp.where(hi, t - (1 << c), t))
         carry = hi.astype(jnp.int32)
     return jnp.stack(digits)
+
+
+def unsigned_digits_device(limbs_canonical, c: int):
+    """In-graph unsigned c-bit digit extraction from CANONICAL (N, 16)-limb
+    scalars (device twin of scalars_to_digits; no borrow chain)."""
+    n = limbs_canonical.shape[0]
+    w_count = (SCALAR_BITS + c - 1) // c
+    lp = jnp.concatenate(
+        [limbs_canonical.astype(jnp.uint32), jnp.zeros((n, 2), jnp.uint32)], axis=1
+    )
+    digits = []
+    for w in range(w_count):
+        bit = w * c
+        j, off = bit // 16, bit % 16
+        chunk = lp[:, j] | (lp[:, j + 1] << 16)
+        digits.append(((chunk >> off) & ((1 << c) - 1)).astype(jnp.int32))
+    return jnp.stack(digits)
+
+
+@functools.lru_cache(maxsize=None)
+def _compiled_commit_batch(
+    base_modulus: int, scalar_modulus: int, n: int, c: int, batch: int, omega: int
+):
+    """Fused commit-from-Lagrange graph: to_mont -> iNTT -> from_mont ->
+    in-graph digit extraction -> Pippenger window sums, ONE dispatch for a
+    batch of polynomials over a shared point set. Returns (coeffs, wsums,
+    collision flags); the host folds windows and adds the blinding [b]W.
+
+    Fusing kills two round-trips per prover phase (the coeff download +
+    digit upload between the former separate NTT and MSM dispatches) and
+    the digit extraction's host Python cost."""
+    from . import ntt as D
+
+    pspec = FieldSpec.make(base_modulus)
+    sspec = FieldSpec.make(scalar_modulus)
+    plan_inv = D.plan_for(scalar_modulus, n, pow(omega, -1, scalar_modulus))
+    n_inv_mont = int_to_limbs(pow(n, -1, scalar_modulus) * sspec.r_mod_p % scalar_modulus)
+
+    @jax.jit
+    def f(qx, qy, qinf, vals):
+        vm = L.to_mont(sspec, vals)
+        cm = D.intt(plan_inv, vm, jnp.asarray(n_inv_mont))
+        coeffs = L.from_mont(sspec, cm)  # (B, n, 16) canonical
+
+        def body(_, cf):
+            digits = unsigned_digits_device(cf, c)
+            r, coll = _msm_device_wsums(pspec, qx, qy, qinf, digits, c, complete=False)
+            return None, (r, coll)
+
+        _, (ws, colls) = jax.lax.scan(body, None, coeffs)
+        return coeffs, ws, colls
+
+    return f
 
 
 def _signed_doubled(spec, qx, qy, qinf):

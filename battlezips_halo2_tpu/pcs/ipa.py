@@ -143,6 +143,95 @@ def commit(params: Params, coeffs: list[int], blind: int) -> Point:
     return msm(VESTA, points, scalars)
 
 
+def commit_lagrange_many(params: Params, domain, values_list: list, blinds: list):
+    """Fused Lagrange->coeff->commit: iNTT, digit extraction and the
+    Pippenger window sums run in ONE device dispatch per chunk (the former
+    two-dispatch path paid a coeff download + digit upload round-trip per
+    prover phase, plus host digit extraction). Returns (coeff_polys,
+    commitments). The blinding [b]W rides the host-native path (one fixed
+    point) and is added into the folded result — bit-identical to
+    commit_many (point addition is exact and order-free).
+
+    Falls back to batch_lagrange_to_coeff + commit_many under an active
+    mesh (the sharded MSM owns that path) and off-TPU (the fused device
+    graph hits the pathological XLA-CPU compile)."""
+    from ..parallel.context import mesh_is_active
+    from ..ops.msm import (
+        _compiled_commit_batch,
+        auto_window,
+        device_backend_is_tpu,
+        host_msm,
+        host_window_fold,
+    )
+    from ..ops.dispatch import device_call
+    from ..curves.limb import affine_to_jacobian_host, jacobian_to_affine_host
+    from ..fields.limb import FieldSpec
+    from ..fields import limb as L
+
+    assert len(values_list) == len(blinds)
+    if not values_list:
+        return [], []
+    if mesh_is_active() or not device_backend_is_tpu():
+        from ..poly.transforms import batch_lagrange_to_coeff
+
+        polys = batch_lagrange_to_coeff(domain, values_list)
+        return polys, commit_many(params, polys, blinds)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    n = domain.n
+    assert all(len(v) == n for v in values_list)
+    c, _ = auto_window(n)
+    spec = FieldSpec.make(VESTA.base.modulus)
+    jac = affine_to_jacobian_host(spec, params.g)
+    qx, qy = jnp.asarray(jac.x), jnp.asarray(jac.y)
+    qinf = jnp.zeros(n, dtype=bool)
+
+    polys: list = []
+    points: list = []
+    chunk = 8 if n <= (1 << 12) else 4  # worker-watchdog bound (BENCH_NOTES)
+    for start in range(0, len(values_list), chunk):
+        group = values_list[start : start + chunk]
+        b_target = max(1, 1 << (len(group) - 1).bit_length())
+        vals = np.stack(
+            [
+                np.asarray(L.ints_to_limbs([int(x) % FP.modulus for x in v]))
+                for v in group
+            ]
+            + [np.zeros((n, 16), np.uint32)] * (b_target - len(group))
+        )
+        f = _compiled_commit_batch(
+            VESTA.base.modulus, FP.modulus, n, c, b_target, domain.omega
+        )
+        coeffs, ws, colls = device_call(
+            f, qx, qy, qinf, jnp.asarray(vals), what="fused lagrange commit"
+        )
+        coeffs = np.asarray(coeffs)
+        colls = np.asarray(colls)
+        w_count = ws.x.shape[1]
+        flat = type(jac)(
+            np.asarray(ws.x).reshape(-1, 16),
+            np.asarray(ws.y).reshape(-1, 16),
+            np.asarray(ws.z).reshape(-1, 16),
+        )
+        aff = jacobian_to_affine_host(spec, flat)
+        for gi in range(len(group)):
+            poly = L.limbs_to_ints(coeffs[gi])
+            polys.append(poly)
+            if bool(colls[gi].any()):
+                # incomplete-add collision (astronomically rare with
+                # random commit scalars): recompute this one on host
+                base = host_msm(VESTA, params.g, poly)
+            else:
+                base = host_window_fold(
+                    VESTA, aff[gi * w_count : (gi + 1) * w_count], c
+                )
+            blinded = host_msm(VESTA, [params.w], [blinds[start + gi]])
+            points.append(VESTA.add(base, blinded))
+    return polys, points
+
+
 def commit_many(params: Params, polys: list, blinds: list) -> list[Point]:
     """Commit a batch of polynomials in ONE vmapped device MSM over the
     shared [G | W] point set; TP-sharded under an active mesh."""

@@ -61,7 +61,7 @@ class _Phase:
 
 from ..curves.host import VESTA
 from ..fields.host import FP
-from ..pcs.ipa import Params, commit, commit_many
+from ..pcs.ipa import Params, commit, commit_lagrange_many, commit_many
 from ..pcs.multiopen import Query, multiopen_prove
 from ..poly.domain import eval_poly_coeffs
 from ..poly.transforms import batch_coeff_to_extended, batch_lagrange_to_coeff
@@ -140,9 +140,13 @@ def create_proof(
         vals = list(instances[ci]) if ci < len(instances) else []
         assert len(vals) <= usable
         instance_values.append([v % P for v in vals] + [0] * (n - len(vals)))
-    instance_polys = batch_lagrange_to_coeff(domain, instance_values) if instance_values else []
-    for poly in instance_polys:
-        transcript.common_point(commit(params, poly, 0))
+    instance_polys, instance_points = (
+        commit_lagrange_many(params, domain, instance_values, [0] * len(instance_values))
+        if instance_values
+        else ([], [])
+    )
+    for point in instance_points:
+        transcript.common_point(point)
 
     phase.mark("instance")
     # --- witness synthesis + advice commitments ---------------------------
@@ -157,9 +161,11 @@ def create_proof(
         for row in range(usable, n):
             vals[row] = FP.random(rng)
         advice_values.append(vals)
-    advice_polys = batch_lagrange_to_coeff(domain, advice_values)
-    advice_blinds = [FP.random(rng) for _ in advice_polys]
-    for point in commit_many(params, advice_polys, advice_blinds):
+    advice_blinds = [FP.random(rng) for _ in advice_values]
+    advice_polys, advice_points = commit_lagrange_many(
+        params, domain, advice_values, advice_blinds
+    )
+    for point in advice_points:
         transcript.write_point(point)
 
     phase.mark("advice synth+commit")
@@ -205,9 +211,10 @@ def create_proof(
         )
     lookup_perm_polys = []
     if lookups:
-        flat = batch_lagrange_to_coeff(domain, [v for lk in lookups for v in (lk["a_perm"], lk["s_perm"])])
-        blinds = [FP.random(rng) for _ in flat]
-        points = commit_many(params, flat, blinds)
+        blinds = [FP.random(rng) for _ in range(2 * len(lookups))]
+        flat, points = commit_lagrange_many(
+            params, domain, [v for lk in lookups for v in (lk["a_perm"], lk["s_perm"])], blinds
+        )
         for i in range(len(lookups)):
             transcript.write_point(points[2 * i])
             transcript.write_point(points[2 * i + 1])
@@ -262,9 +269,13 @@ def create_proof(
         for row in range(usable + 1, n):
             z[row] = FP.random(rng)
         perm_z_values.append(z)
-    perm_z_polys = batch_lagrange_to_coeff(domain, perm_z_values) if perm_z_values else []
-    perm_z_blinds = [FP.random(rng) for _ in perm_z_polys]
-    for point in commit_many(params, perm_z_polys, perm_z_blinds):
+    perm_z_blinds = [FP.random(rng) for _ in perm_z_values]
+    perm_z_polys, perm_z_points = (
+        commit_lagrange_many(params, domain, perm_z_values, perm_z_blinds)
+        if perm_z_values
+        else ([], [])
+    )
+    for point in perm_z_points:
         transcript.write_point(point)
 
     phase.mark("permutation z")
@@ -289,9 +300,9 @@ def create_proof(
         lk["z_values"] = z
         lookup_z_polys.append(z)
     if lookup_z_polys:
-        zp = batch_lagrange_to_coeff(domain, lookup_z_polys)
-        zb = [FP.random(rng) for _ in zp]
-        for point in commit_many(params, zp, zb):
+        zb = [FP.random(rng) for _ in lookup_z_polys]
+        zp, zpoints = commit_lagrange_many(params, domain, lookup_z_polys, zb)
+        for point in zpoints:
             transcript.write_point(point)
         lookup_z_polys = list(zip(zp, zb))
 

@@ -19,6 +19,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 # persistent compile cache: the MSM/NTT graphs are expensive to build once
-_cache_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
+# BZ_NO_COMPILE_CACHE=1 disables the persistent cache: serializing the
+# multi-GB sharded-prover CPU executables segfaults in the cache writer
+# (zstd/AOT path) — the slow tier runs with it off.
+if os.environ.get("BZ_NO_COMPILE_CACHE", "") in ("", "0"):
+    _cache_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -79,6 +79,22 @@ class TestMsm:
         pts[1] = None
         assert msm(VESTA, pts, scalars) == VESTA.msm(pts, scalars)
 
+    @pytest.mark.parametrize("emit", ["dense", "scatter"])
+    def test_msm_emit_modes_vs_host(self, emit, monkeypatch):
+        """Bucket-emit variants (BZ_MSM_EMIT): the dense scan-output +
+        sort-compaction path and the per-step scatter path must both match
+        the host Pippenger (unsigned c=8 path — the signed graph is
+        CPU-compile-pathological and is covered on TPU by the bench gate
+        and tools/verify_drive.py)."""
+        monkeypatch.setenv("BZ_MSM_EMIT", emit)
+        rng = random.Random(11)
+        n = 512
+        pts = [VESTA.mul(VESTA.generator, rng.randrange(1, 10**14)) for _ in range(n)]
+        scalars = [rng.randrange(VESTA.scalar.modulus) for _ in range(n)]
+        scalars[5] = 0
+        pts[7] = None
+        assert msm(VESTA, pts, scalars, force_device=True) == VESTA.msm(pts, scalars)
+
 
 class TestMixedAdd:
     """Edge cases of the affine-operand addition laws used by the MSM
