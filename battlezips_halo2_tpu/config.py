@@ -16,6 +16,7 @@ Environment flags:
 | BZ_TPU_TRACE | trace_prover | per-phase prover span logs |
 | BZ_VERIFY_TRACE | trace_verifier | verifier failure-point logs |
 | BZ_HOST_QUOTIENT | host_quotient | exact host quotient (cross-check) |
+| BZ_FORCE_FUSED_COMMIT | force_fused_commit | fused lagrange-commit path on any backend (CPU bit-identity tests) |
 | BZ_NO_SELECTOR_COMPRESS | selector_compression (inverted) | keygen opt-out |
 | BZ_PALLAS_MSM / BZ_PALLAS_NTT | pallas_msm / pallas_ntt | legacy row-layout fused kernels (opt-in) |
 | BZ_NO_PALLAS_MSM_T | pallas_msm_t (inverted) | fused transposed MSM scan step (default ON on TPU) |
@@ -69,6 +70,7 @@ class FrameworkConfig:
     host_quotient: bool = False
     trace_prover: bool = False
     trace_verifier: bool = False
+    force_fused_commit: bool = False  # BZ_FORCE_FUSED_COMMIT: fused lagrange-commit on any backend
 
     # device kernels
     pallas_msm: bool = False
@@ -103,6 +105,7 @@ class FrameworkConfig:
         return FrameworkConfig(
             selector_compression=not _flag("BZ_NO_SELECTOR_COMPRESS"),
             host_quotient=_flag("BZ_HOST_QUOTIENT"),
+            force_fused_commit=_flag("BZ_FORCE_FUSED_COMMIT"),
             trace_prover=_flag("BZ_TPU_TRACE"),
             trace_verifier=_flag("BZ_VERIFY_TRACE"),
             pallas_msm=_flag("BZ_PALLAS_MSM"),

@@ -130,20 +130,33 @@ def mul_windows(curve: Curve, base_table: FixedBase, windows: list[int]) -> Poin
 
 
 def _derived_zs(name: str, generator: Point) -> list[int] | None:
-    """Disk cache for the from-scratch z-search (.artifacts), keyed by the
-    generator coordinates so a stale cache can never mismatch the base."""
+    """z-witness lookup, keyed by the generator coordinates so a stale
+    entry can never mismatch the base. Two locations, in order:
+
+    1. the COMMITTED artifact (gadgets/data/fixed_base_zs_*.json) — the
+       output of the from-scratch search, shipped so a fresh checkout
+       without a C++ toolchain never falls into the pure-Python z-scan
+       (z values run to ~5e5; hours per table without the native scan).
+       Tests re-derive a sample from scratch and assert equality, so the
+       committed file stays an artifact of our own search, not an input;
+    2. the .artifacts disk cache (written by a previous in-tree search,
+       e.g. for non-standard generators in tests)."""
     import json
     from pathlib import Path
 
-    cache = Path(__file__).resolve().parent.parent.parent / ".artifacts" / f"fixed_base_zs_{name}.json"
-    key = [generator[0], generator[1]]
-    if cache.exists():
-        try:
-            data = json.loads(cache.read_text())
-            if data.get("generator") == [str(k) for k in key]:
-                return [int(z) for z in data["z"]]
-        except (ValueError, KeyError):
-            pass
+    here = Path(__file__).resolve()
+    key = [str(k) for k in (generator[0], generator[1])]
+    for cache in (
+        here.parent / "data" / f"fixed_base_zs_{name}.json",
+        here.parent.parent.parent / ".artifacts" / f"fixed_base_zs_{name}.json",
+    ):
+        if cache.exists():
+            try:
+                data = json.loads(cache.read_text())
+                if data.get("generator") == key:
+                    return [int(z) for z in data["z"]]
+            except (ValueError, KeyError):
+                pass
     return None
 
 

@@ -301,7 +301,15 @@ def _lane_block(n_rows: int, n_points: int) -> int:
 
 
 def _msm_device_wsums(
-    spec: FieldSpec, qx, qy, qinf, digits, c: int, complete: bool = False, signed: bool = False
+    spec: FieldSpec,
+    qx,
+    qy,
+    qinf,
+    digits,
+    c: int,
+    complete: bool = False,
+    signed: bool = False,
+    dense_batch: int = 1,
 ):
     """digits: (W, N) -> (wsums, collision) where wsums holds per-window
     sums S_w as a (W, 16)-leaf JacobianPoint (callers fold with
@@ -419,10 +427,14 @@ def _msm_device_wsums(
     # bucket values are pulled out afterwards: one extra packed sort finds
     # each bucket's last-row position, then ONE (buckets)-row gather reads
     # the values — W·nbuck ≈ rows/64 rows instead of `rows` scatter-rows.
+    # ys buffer cap bounds the LIVE footprint: vmapped callers run
+    # dense_batch instances concurrently, so each instance's share of the
+    # 3 GiB budget shrinks accordingly (ADVICE r3 medium — the per-instance
+    # gate alone under-counted 4x for msm_many's batched dispatches)
     dense = (
         config().msm_emit != "scatter"
         and w_count * nbuck <= total_rows
-        and total_rows * 48 * 4 <= (3 << 30)  # ys buffer cap
+        and total_rows * 48 * 4 * max(1, dense_batch) <= (3 << 30)
     )
 
     if fused_T:
@@ -662,7 +674,10 @@ def _msm_device_batch(spec: FieldSpec, qx, qy, qinf, digits_batch, c: int, compl
     Batching also amortizes the latency-bound tails (bucket aggregation)
     across the B MSMs; the Horner window fold happens host-side. Returns
     ((B, W, 16)-leaf wsums, (B,) collision flags)."""
-    return jax.vmap(lambda d: _msm_device_wsums(spec, qx, qy, qinf, d, c, complete))(digits_batch)
+    b = digits_batch.shape[0]
+    return jax.vmap(
+        lambda d: _msm_device_wsums(spec, qx, qy, qinf, d, c, complete, dense_batch=b)
+    )(digits_batch)
 
 
 def auto_window(n: int) -> tuple[int, bool]:
@@ -803,7 +818,9 @@ def _compiled_msm_batch(
         if signed:
             qx2, qy2, qinf2 = _signed_doubled(spec, qx, qy, qinf)
             return jax.vmap(
-                lambda d: _msm_device_wsums(spec, qx2, qy2, qinf2, d, c, complete, signed=True)
+                lambda d: _msm_device_wsums(
+                    spec, qx2, qy2, qinf2, d, c, complete, signed=True, dense_batch=batch
+                )
             )(digits_batch)
         return _msm_device_batch(spec, qx, qy, qinf, digits_batch, c, complete)
 

@@ -119,6 +119,15 @@ def fp_const_matmul(spec: FieldSpec, w_ints, a, mont: bool = True):
     batch = a.shape[:-3]
     m = a.shape[-2]
     assert a.shape[-3] == k and a.shape[-1] == NLIMBS
+    # i32 diagonal-regroup bound: each of the <= 32 diagonal contributions
+    # is an exact f32 sum of k products <= 255^2, so lanes reach
+    # 32 * k * 255^2 — past k = 1024 that exceeds i32 and the accumulation
+    # would wrap SILENTLY. 4-step plans keep n1, n2 <= 1024 up to n = 2^20;
+    # larger forced runs must segment the regroup first (ADVICE r3).
+    assert k <= 1024, (
+        f"fp_const_matmul: contraction dim {k} > 1024 overflows the i32 "
+        "diagonal accumulator (needs segmented regrouping)"
+    )
     a8 = _to_chunks8_cols(a)  # (..., K, M, 32)
     # flatten: contraction on the left, (M·32 chunks) on the right
     a8f = a8.reshape((-1, k, m * NCHUNK)) if batch else a8.reshape((1, k, m * NCHUNK))

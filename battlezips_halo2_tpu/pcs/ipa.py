@@ -154,7 +154,10 @@ def commit_lagrange_many(params: Params, domain, values_list: list, blinds: list
 
     Falls back to batch_lagrange_to_coeff + commit_many under an active
     mesh (the sharded MSM owns that path) and off-TPU (the fused device
-    graph hits the pathological XLA-CPU compile)."""
+    graph hits the pathological XLA-CPU compile). BZ_FORCE_FUSED_COMMIT=1
+    forces the fused branch on any backend — the default-tier bit-identity
+    test runs it on CPU at tiny k (tests/test_fused_commit.py)."""
+    from ..config import config as _config
     from ..parallel.context import mesh_is_active
     from ..ops.msm import (
         _compiled_commit_batch,
@@ -171,7 +174,9 @@ def commit_lagrange_many(params: Params, domain, values_list: list, blinds: list
     assert len(values_list) == len(blinds)
     if not values_list:
         return [], []
-    if mesh_is_active() or not device_backend_is_tpu():
+    if mesh_is_active() or (
+        not device_backend_is_tpu() and not _config().force_fused_commit
+    ):
         from ..poly.transforms import batch_lagrange_to_coeff
 
         polys = batch_lagrange_to_coeff(domain, values_list)
@@ -183,6 +188,12 @@ def commit_lagrange_many(params: Params, domain, values_list: list, blinds: list
     n = domain.n
     assert all(len(v) == n for v in values_list)
     c, _ = auto_window(n)
+    # the fused path uses UNSIGNED digits packed with the point index into
+    # one int32 sort key (ops/msm.py), so c + idx_bits must fit in 31 bits;
+    # auto_window's pick can exceed that from n = 2^19 (ADVICE r3) — cap it
+    # (costs a few % more rows) instead of crashing at trace time
+    idx_bits = max(1, (n - 1).bit_length())
+    c = min(c, 31 - idx_bits)
     spec = FieldSpec.make(VESTA.base.modulus)
     jac = affine_to_jacobian_host(spec, params.g)
     qx, qy = jnp.asarray(jac.x), jnp.asarray(jac.y)

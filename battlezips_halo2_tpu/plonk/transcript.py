@@ -21,6 +21,14 @@ PREFIX_POINT = b"\x01"
 PREFIX_SCALAR = b"\x02"
 
 
+class TranscriptError(ValueError):
+    """Malformed proof bytes: truncation, non-canonical scalar reprs,
+    off-curve or identity point encodings, trailing bytes. The analog of
+    halo2's Err(Error::Transcript) — verify_proof maps EXACTLY this type
+    to False, so an unrelated internal ValueError still surfaces as a bug
+    instead of reading as an invalid proof (ADVICE r3)."""
+
+
 class Transcript:
     """Shared absorb/squeeze core. Challenges live in Fp (the scalar field
     of the Vesta commitment curve)."""
@@ -81,21 +89,31 @@ class TranscriptRead(Transcript):
 
     def _take(self, n: int) -> bytes:
         if self.cursor + n > len(self.proof):
-            raise ValueError("proof too short")
+            raise TranscriptError("proof too short")
         out = self.proof[self.cursor : self.cursor + n]
         self.cursor += n
         return out
 
     def read_point(self) -> Point:
-        point = self.curve.from_bytes(self._take(32))
-        self.common_point(point)
+        # decode failures (off-curve x, bad sign bit) and the identity
+        # absorb are malformed-PROOF conditions — narrow them to
+        # TranscriptError so the verifier's fail-closed catch stays scoped
+        # to the decode layer
+        try:
+            point = self.curve.from_bytes(self._take(32))
+            self.common_point(point)
+        except ValueError as e:
+            raise TranscriptError(str(e)) from e
         return point
 
     def read_scalar(self) -> int:
-        scalar = FP.from_repr(self._take(32))
+        try:
+            scalar = FP.from_repr(self._take(32))
+        except ValueError as e:
+            raise TranscriptError(str(e)) from e
         self.common_scalar(scalar)
         return scalar
 
     def assert_consumed(self):
         if self.cursor != len(self.proof):
-            raise ValueError(f"{len(self.proof) - self.cursor} unread proof bytes")
+            raise TranscriptError(f"{len(self.proof) - self.cursor} unread proof bytes")

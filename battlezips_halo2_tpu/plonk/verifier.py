@@ -21,7 +21,7 @@ from ..poly.transforms import batch_lagrange_to_coeff
 from .arguments import ProofSchedule, evaluate_expression, lookup_terms, permutation_terms
 from .expression import ColumnType
 from .keys import VerifyingKey
-from .transcript import TranscriptRead
+from .transcript import TranscriptError, TranscriptRead
 
 P = FP.modulus
 
@@ -29,12 +29,15 @@ P = FP.modulus
 def verify_proof(params: Params, vk: VerifyingKey, proof: bytes, instances: list[list[int]]) -> bool:
     """Returns False (never raises) on malformed proof bytes: truncated
     transcripts, non-canonical scalar reprs, and off-curve point encodings
-    all raise ValueError from the decode layer, which is the analog of
+    all raise TranscriptError from the decode layer, which is the analog of
     halo2's Err(Error::Transcript) from verify_proof — an invalid proof,
-    not a caller error (src/wasm/circuit_wasm.rs:88-112 maps it to false)."""
+    not a caller error (src/wasm/circuit_wasm.rs:88-112 maps it to false).
+    Any OTHER exception (including plain ValueError) propagates: an
+    internal bug must surface as an error, not read as an invalid proof
+    (ADVICE r3)."""
     try:
         return _verify_proof(params, vk, proof, instances)
-    except ValueError as e:
+    except TranscriptError as e:
         if _config().trace_verifier:
             print(f"[verify] rejected: {e}")
         return False

@@ -18,11 +18,50 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# persistent compile cache: the MSM/NTT graphs are expensive to build once
-# BZ_NO_COMPILE_CACHE=1 disables the persistent cache: serializing the
-# multi-GB sharded-prover CPU executables segfaults in the cache writer
-# (zstd/AOT path) — the slow tier runs with it off.
+# persistent compile cache: the MSM/NTT graphs are expensive to build once.
+# Serializing multi-GB XLA:CPU executables segfaults in the cache writer
+# (zstd/AOT path, see NEXT_STEPS.md crash signature), so the writer is
+# SIZE-GATED below instead of blanket-disabled: normal executables stay
+# cached even in the slow tier, only pathological ones skip the write.
+# BZ_NO_COMPILE_CACHE=1 remains a manual kill switch.
 if os.environ.get("BZ_NO_COMPILE_CACHE", "") in ("", "0"):
     _cache_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+# generated-code size above which the persistent-cache write is skipped
+# (the observed writer segfaults were on multi-GB CPU executables)
+_CACHE_MAX_CODE_BYTES = int(os.environ.get("BZ_CACHE_MAX_CODE_BYTES", str(1 << 30)))
+
+from jax._src import compilation_cache as _cc  # noqa: E402
+
+_orig_put = _cc.put_executable_and_time
+
+
+def _size_gated_put(cache_key, module_name, executable, backend, compile_time):
+    try:
+        ma = executable.memory_analysis()
+        code_bytes = int(getattr(ma, "generated_code_size_in_bytes", 0))
+    except Exception:
+        code_bytes = 0
+    if code_bytes > _CACHE_MAX_CODE_BYTES:
+        print(
+            f"[conftest] persistent-cache write SKIPPED for {module_name}: "
+            f"generated code {code_bytes/2**30:.2f} GiB > gate "
+            f"{_CACHE_MAX_CODE_BYTES/2**30:.2f} GiB (writer segfault guard)",
+            flush=True,
+        )
+        return None
+    return _orig_put(cache_key, module_name, executable, backend, compile_time)
+
+
+_cc.put_executable_and_time = _size_gated_put
+
+
+def pytest_configure(config):
+    # quick subset: `pytest -m "not heavy"` — excludes production-k golden
+    # verification and pathological-XLA-CPU-compile tests (README "Testing")
+    config.addinivalue_line(
+        "markers",
+        "heavy: production-k or compile-heavy tests; quick tier skips via -m 'not heavy'",
+    )

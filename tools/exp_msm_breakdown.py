@@ -187,6 +187,24 @@ def derive_part(digits):
     return jnp.sum(d.astype(jnp.uint32))
 
 
+def benchbody_part(digits):
+    """EXACT bench.py bench_msm per-variant body: in-graph scalar derivation
+    (mont_mul by a rho power + from_mont + signed digit extraction) feeding
+    _msm_device_wsums, plus the per-variant (W, 16)-leaf accumulator point
+    add — isolates whatever the official bench pays beyond `full`."""
+    from battlezips_halo2_tpu.curves.limb import point_add as _padd
+
+    seed = jnp.sum(digits[0, :8].astype(jnp.uint32))
+    base = jnp.broadcast_to((seed % 7 + 1).astype(jnp.uint32), (N, 16))
+    sc_mont = FL.mont_mul(FP_SPEC, base, base)
+    sc = FL.from_mont(FP_SPEC, sc_mont)
+    d = M.signed_digits_device(sc, C)
+    r, coll = M._msm_device_wsums(SPEC, qx, qy, qinf, d, C, signed=True)
+    acc = infinity(SPEC, (M.signed_window_count(C),))
+    acc = _padd(SPEC, acc, r)
+    return acc.x, coll
+
+
 def timed(name, fn):
     def chained(seed):
         def body(carry, i):
@@ -221,6 +239,7 @@ if __name__ == "__main__":
         "gatherxy": gatherxy_part,
         "derive": derive_part,
         "full": full_part,
+        "benchbody": benchbody_part,
     }
     for w in which:
         timed(w, fns[w])

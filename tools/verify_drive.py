@@ -81,6 +81,23 @@ got = msm(VESTA, pts, sc, c=None, force_device=True)
 assert got == want, "device MSM mismatch"
 ok("device MSM (auto window) bit-exact vs host Pippenger")
 
+# fused lagrange-commit (the production TPU prover's commitment path,
+# plonk/prover.py -> pcs/ipa.commit_lagrange_many) bit-identical to the
+# two-step batch_lagrange_to_coeff + commit_many pipeline ON CHIP
+from battlezips_halo2_tpu.pcs.ipa import Params, commit_lagrange_many, commit_many
+from battlezips_halo2_tpu.poly.domain import EvaluationDomain
+from battlezips_halo2_tpu.poly.transforms import batch_lagrange_to_coeff
+
+fc_params = Params.new(8)
+fc_domain = EvaluationDomain(8, 2)
+fc_vals = [[rng.randrange(FP.modulus) for _ in range(fc_domain.n)] for _ in range(3)]
+fc_blinds = [rng.randrange(FP.modulus) for _ in range(3)]
+fc_polys, fc_points = commit_lagrange_many(fc_params, fc_domain, fc_vals, fc_blinds)
+ref_polys = batch_lagrange_to_coeff(fc_domain, fc_vals)
+ref_points = commit_many(fc_params, ref_polys, fc_blinds)
+assert fc_polys == ref_polys and fc_points == ref_points, "fused commit mismatch"
+ok("fused commit_lagrange_many bit-identical to two-step pipeline (TPU)")
+
 # ---- 3. proof flow -------------------------------------------------------
 from battlezips_halo2_tpu import api
 
