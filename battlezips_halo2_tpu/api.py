@@ -43,7 +43,8 @@ def _cached_pk(name: str, params, make_circuit):
 
     # schema v3: selector compression with degree-true lookup budgets
     # changed the pk layout — versioned filename invalidates stale artifacts
-    path = _artifact_dir() / f"pk_h2c_{name}_{params.k}_v3.pkl"
+    # v4: vk digest switched to the halo2 hash_into pinned-vk construction
+    path = _artifact_dir() / f"pk_h2c_{name}_{params.k}_v4.pkl"
     if path.exists():
         try:
             return ProvingKey.load(path)

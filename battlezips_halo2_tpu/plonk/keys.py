@@ -13,7 +13,6 @@ lacks (SURVEY.md §5.4).
 
 from __future__ import annotations
 
-import hashlib
 from dataclasses import dataclass, field
 
 from ..fields.host import FP
@@ -46,13 +45,14 @@ class VerifyingKey:
     digest: int = 0
 
     def compute_digest(self):
-        from ..curves.host import VESTA
+        """halo2 0.2.0 hash_into semantics: blake2b-512 (person
+        "Halo2-Verify-Key") over the Rust {:?} text of the pinned vk,
+        length-prefixed, wide-reduced — see plonk/pinned.py. Seeded into
+        every transcript as a common scalar (matches the reference's
+        keygen_vk/verify_proof usage, src/circuits/board.rs:909-912)."""
+        from .pinned import vk_transcript_repr
 
-        h = hashlib.blake2b(digest_size=64, person=b"bz-tpu-vk-digest")
-        h.update(bytes([self.k]))
-        for c in self.fixed_commitments + self.permutation.sigma_commitments:
-            h.update(VESTA.to_bytes(c))
-        self.digest = FP.from_bytes_wide(h.digest())
+        self.digest = vk_transcript_repr(self)
         return self.digest
 
 

@@ -65,8 +65,15 @@ def make_mul():
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
     from test_prover import MulCircuit
 
-    from battlezips_halo2_tpu.pcs.ipa import cached_params
+    from battlezips_halo2_tpu.pcs.ipa import Params, cached_params
     from battlezips_halo2_tpu.plonk import create_proof, keygen, verify_proof
+    from battlezips_halo2_tpu.plonk.pinned import pinned_vk_text
+
+    # frozen pinned-vk text (tests/test_pinned.py) — regenerated together
+    # with the proof vectors so digest and bytes can never drift apart
+    pk3 = keygen(Params.new(3), MulCircuit(1, 1, 1))
+    (GOLDEN / "pinned_mul_k3.txt").write_text(pinned_vk_text(pk3.vk))
+    print("pinned_mul_k3.txt written", flush=True)
 
     params = cached_params(5)
     pk = keygen(params, MulCircuit(1, 1, 1))
