@@ -16,6 +16,8 @@ Environment flags:
 | BZ_TPU_TRACE | trace_prover | per-phase prover span logs |
 | BZ_VERIFY_TRACE | trace_verifier | verifier failure-point logs |
 | BZ_HOST_QUOTIENT | host_quotient | exact host quotient (cross-check) |
+| BZ_PROOF_ENGINE | proof_engine | auto (default) / device / host — native latency engine routing |
+| BZ_LATENCY_N_MAX | latency_n_max | auto-routing threshold: host engine when n <= this |
 | BZ_FORCE_FUSED_COMMIT | force_fused_commit | fused lagrange-commit path on any backend (CPU bit-identity tests) |
 | BZ_NO_SELECTOR_COMPRESS | selector_compression (inverted) | keygen opt-out |
 | BZ_PALLAS_MSM / BZ_PALLAS_NTT | pallas_msm / pallas_ntt | legacy row-layout fused kernels (opt-in) |
@@ -68,6 +70,12 @@ class FrameworkConfig:
     # prover pipeline
     selector_compression: bool = True
     host_quotient: bool = False
+    # proof engine routing: "auto" routes sub-threshold proofs through the
+    # native host engine (C++ NTT/VM/MSM — relay dispatch latency dwarfs
+    # device compute at the reference's k=11/12), "device" forces the TPU
+    # pipeline, "host" forces native. Threshold: domain n <= latency_n_max.
+    proof_engine: str = "auto"  # "auto" | "device" | "host"
+    latency_n_max: int = 1 << 14
     trace_prover: bool = False
     trace_verifier: bool = False
     force_fused_commit: bool = False  # BZ_FORCE_FUSED_COMMIT: fused lagrange-commit on any backend
@@ -105,6 +113,8 @@ class FrameworkConfig:
         return FrameworkConfig(
             selector_compression=not _flag("BZ_NO_SELECTOR_COMPRESS"),
             host_quotient=_flag("BZ_HOST_QUOTIENT"),
+            proof_engine=os.environ.get("BZ_PROOF_ENGINE", "auto"),
+            latency_n_max=int(os.environ.get("BZ_LATENCY_N_MAX", str(1 << 14))),
             force_fused_commit=_flag("BZ_FORCE_FUSED_COMMIT"),
             trace_prover=_flag("BZ_TPU_TRACE"),
             trace_verifier=_flag("BZ_VERIFY_TRACE"),

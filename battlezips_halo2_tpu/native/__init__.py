@@ -66,6 +66,13 @@ def load():
         lib.pasta_msm.argtypes = [ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64]
         lib.pasta_find_z.argtypes = [ctypes.c_int, ctypes.c_char_p, ctypes.c_int64]
         lib.pasta_find_z.restype = ctypes.c_int64
+        lib.pasta_ntt_batch.argtypes = [ctypes.c_int, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_char_p]
+        lib.pasta_scale_batch.argtypes = [ctypes.c_int, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_char_p, ctypes.c_char_p]
+        lib.pasta_vm_exec.argtypes = [
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+        ]
+        lib.pasta_mul_vec.argtypes = [ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
         _lib = lib
     except OSError:
         _lib = None
@@ -107,6 +114,107 @@ def find_z(which: int, ys: list[int], z_max: int = 1 << 24) -> int | None:
     buf = b"".join(int(y).to_bytes(32, "little") for y in ys)
     z = lib.pasta_find_z(which, buf, z_max)
     return None if z < 0 else int(z)
+
+
+def ints_to_bytes_arr(xs) -> "object":
+    """List of ints -> (len, 32) uint8 array of LE canonical reprs."""
+    import numpy as np
+
+    buf = b"".join(int(x).to_bytes(32, "little") for x in xs)
+    return np.frombuffer(buf, dtype=np.uint8).reshape(len(xs), 32).copy()
+
+
+def bytes_arr_to_ints(arr) -> list[int]:
+    """(N, 32) uint8 array -> list of ints."""
+    import numpy as np
+
+    data = np.ascontiguousarray(arr).tobytes()
+    return [int.from_bytes(data[i * 32 : (i + 1) * 32], "little") for i in range(arr.shape[0])]
+
+
+def _buf_ptr(arr):
+    import numpy as np
+
+    assert arr.dtype == np.uint8 and arr.flags["C_CONTIGUOUS"]
+    return arr.ctypes.data_as(ctypes.c_void_p)
+
+
+def ntt_batch(which: int, data, omega: int) -> None:
+    """In-place forward NTT of a (b, n, 32) uint8 canonical-bytes batch
+    using the order-n root `omega` (native C++ radix-2; poly/transforms.py
+    latency tier). Inverse = ntt_batch(omega^-1) + scale_batch(1, n^-1)."""
+    lib = load()
+    assert lib is not None
+    b, n = data.shape[0], data.shape[1]
+    lib.pasta_ntt_batch(which, _buf_ptr(data), b, n, int(omega).to_bytes(32, "little"))
+
+
+def scale_batch(which: int, data, g: int, mult: int) -> None:
+    """In-place data[j][i] *= mult * g^i over a (b, n, 32) canonical-bytes
+    batch (coset power scaling / iNTT normalization)."""
+    lib = load()
+    assert lib is not None
+    b, n = data.shape[0], data.shape[1]
+    lib.pasta_scale_batch(
+        which, _buf_ptr(data), b, n,
+        int(g).to_bytes(32, "little"), int(mult).to_bytes(32, "little"),
+    )
+
+
+def vm_exec(which: int, prog, regs):
+    """Run the gate-eval bytecode (ops/gate_eval.py instruction format) over
+    a (n_regs, ext, 32) canonical-bytes register file; returns register 0
+    (the y-fold aggregate) as an (ext, 32) uint8 array."""
+    import numpy as np
+
+    lib = load()
+    assert lib is not None
+    prog = np.ascontiguousarray(prog, dtype=np.int32)
+    n_regs, ext = regs.shape[0], regs.shape[1]
+    out = np.empty((ext, 32), dtype=np.uint8)
+    lib.pasta_vm_exec(
+        which, prog.ctypes.data_as(ctypes.c_void_p), prog.shape[0],
+        _buf_ptr(regs), n_regs, ext, _buf_ptr(out),
+    )
+    return out
+
+
+def mul_vec(which: int, a, b):
+    """Elementwise field product of two (n, 32) canonical-bytes arrays."""
+    import numpy as np
+
+    lib = load()
+    assert lib is not None
+    n = a.shape[0]
+    out = np.empty((n, 32), dtype=np.uint8)
+    lib.pasta_mul_vec(which, _buf_ptr(a), _buf_ptr(b), _buf_ptr(out), n)
+    return out
+
+
+def msm_buf(which: int, pbuf: bytes, scalars) -> tuple | None:
+    """MSM over a PREBUILT point buffer (64 bytes per affine point) — the
+    per-call point marshalling dominates native MSM time for the prover's
+    repeated commits against the same SRS, so callers cache pbuf."""
+    lib = load()
+    assert lib is not None
+    n = len(pbuf) // 64
+    sbuf = b"".join(int(s).to_bytes(32, "little") for s in scalars)
+    assert len(scalars) == n
+    out = ctypes.create_string_buffer(64)
+    lib.pasta_msm(which, pbuf, sbuf, out, n)
+    x = int.from_bytes(out.raw[:32], "little")
+    y = int.from_bytes(out.raw[32:], "little")
+    if x == 0 and y == 0:
+        return None
+    return (x, y)
+
+
+def points_buffer(points) -> bytes:
+    """Affine (x, y) tuples / None -> the 64-byte-per-point MSM buffer."""
+    return b"".join(
+        (b"\x00" * 64) if p is None else (p[0].to_bytes(32, "little") + p[1].to_bytes(32, "little"))
+        for p in points
+    )
 
 
 def msm(which: int, points, scalars) -> tuple | None:

@@ -273,6 +273,56 @@ def _emit_constraints(em: _VMEmitter, cs, usable: int, chunk_meta, lookups, gate
         em.fold_term(em.mul(em.mul(diff, em.sub(a_perm, a_prev)), lactive))
 
 
+def quotient_constants(vk) -> dict:
+    """Shared per-pk quotient constants as plain int lists over the extended
+    coset: l0 / llast / lactive Lagrange selectors, the coset x coordinates,
+    and 1/Z_H. Consumed by both the device VM (QuotientEvaluator) and the
+    native host VM (ops/native_quotient.py)."""
+    from ..plonk.arguments import _lagrange_basis_extended
+
+    cs = vk.cs
+    domain = vk.domain
+    usable = cs.usable_rows(domain.n)
+    ext = domain.extended_n
+    rows = [0, usable] + list(range(usable + 1, domain.n))
+    basis = _lagrange_basis_extended(domain, rows)
+    l0 = [int(v) for v in basis[0]]
+    llast = [int(v) for v in basis[usable]]
+    blind = np.zeros(ext, dtype=object)
+    for i in range(usable + 1, domain.n):
+        blind = (blind + basis[i]) % P
+    lactive = [(1 - (lv + bv)) % P for lv, bv in zip(llast, blind)]
+    xs = []
+    acc = domain.g_coset
+    for _ in range(ext):
+        xs.append(acc)
+        acc = acc * domain.extended_omega % P
+    t_inv = FP.batch_inv(domain.t_extended())
+    return {"l0": l0, "llast": llast, "lactive": lactive, "x": xs, "t_inv": t_inv}
+
+
+def emit_vm(vk, schedule: ProofSchedule):
+    """Emit the constraint bytecode for a verifying key: -> ((I, 4) int32
+    program, pin keys, total registers). Shared by the device and native
+    host VM executors — both run the IDENTICAL instruction stream, so their
+    quotients are bit-identical by construction."""
+    cs = vk.cs
+    usable = cs.usable_rows(vk.domain.n)
+    perm_cols = vk.permutation.columns
+    chunk_len = schedule.chunk_len
+    chunk_meta = []
+    for c0 in range(0, len(perm_cols), chunk_len):
+        cols = perm_cols[c0 : c0 + chunk_len]
+        entries = []
+        for col in cols:
+            j = perm_cols.index(col)
+            entries.append((col.kind.value, col.index, j, pow(DELTA, j, P)))
+        chunk_meta.append(entries)
+    em = _VMEmitter()
+    _emit_constraints(em, cs, usable, chunk_meta, cs.lookups, cs.gates)
+    return em.finalize()
+
+
 class QuotientEvaluator:
     """Built once per proving key; __call__(columns, challenges) -> h coeffs."""
 
@@ -289,51 +339,22 @@ class QuotientEvaluator:
         r = spec.r_mod_p
 
         # --- baked constants (Montgomery limb form) ------------------------
-        from ..plonk.arguments import _lagrange_basis_extended
-
-        rows = [0, usable] + list(range(usable + 1, domain.n))
-        basis = _lagrange_basis_extended(domain, rows)
-        l0 = [int(v) for v in basis[0]]
-        llast = [int(v) for v in basis[usable]]
-        blind = np.zeros(ext, dtype=object)
-        for i in range(usable + 1, domain.n):
-            blind = (blind + basis[i]) % P
-        lactive = [(1 - (lv + bv)) % P for lv, bv in zip(llast, blind)]
-        xs = []
-        acc = domain.g_coset
-        for _ in range(ext):
-            xs.append(acc)
-            acc = acc * domain.extended_omega % P
-        t_inv = FP.batch_inv(domain.t_extended())
+        consts = quotient_constants(vk)
 
         def mont_const(vals):
             return jnp.asarray(ints_to_limbs([v * r % P for v in vals]))
 
         named_arrays = {
-            "l0": mont_const(l0),
-            "llast": mont_const(llast),
-            "lactive": mont_const(lactive),
-            "x": mont_const(xs),
+            "l0": mont_const(consts["l0"]),
+            "llast": mont_const(consts["llast"]),
+            "lactive": mont_const(consts["lactive"]),
+            "x": mont_const(consts["x"]),
             "one": jnp.broadcast_to(jnp.asarray(spec.one_mont), (ext, L.NLIMBS)),
         }
-        c_tinv = mont_const(t_inv)
-
-        # permutation chunk metadata
-        perm_cols = vk.permutation.columns
-        chunk_len = schedule.chunk_len
-        chunk_meta = []
-        for c0 in range(0, len(perm_cols), chunk_len):
-            cols = perm_cols[c0 : c0 + chunk_len]
-            entries = []
-            for col in cols:
-                j = perm_cols.index(col)
-                entries.append((col.kind.value, col.index, j, pow(DELTA, j, P)))
-            chunk_meta.append(entries)
+        c_tinv = mont_const(consts["t_inv"])
 
         # --- emit the constraint bytecode (host, once) ---------------------
-        em = _VMEmitter()
-        _emit_constraints(em, cs, usable, chunk_meta, cs.lookups, cs.gates)
-        prog_np, pin_keys, n_regs = em.finalize()
+        prog_np, pin_keys, n_regs = emit_vm(vk, schedule)
         self.vm_size = (len(prog_np), n_regs)
 
         def run(batch, challenges):

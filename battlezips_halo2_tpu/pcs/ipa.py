@@ -127,9 +127,39 @@ def cached_params(k: int) -> Params:
     return params
 
 
+def _params_pbuf(params: Params) -> bytes:
+    """Cached native-MSM point buffer for [G | W] — marshalling 2^k affine
+    points to bytes dominates a native commit, and the SRS never changes."""
+    pbuf = getattr(params, "_native_pbuf", None)
+    if pbuf is None:
+        from .. import native
+
+        pbuf = native.points_buffer(params.g + [params.w])
+        params._native_pbuf = pbuf
+    return pbuf
+
+
+def _host_commit_many(params: Params, polys: list, blinds: list) -> list[Point]:
+    """Latency-tier commits: native C++ Pippenger over the cached [G | W]
+    buffer — ~1 ms per commitment at k=12, no relay round trip."""
+    from .. import native
+
+    which = native.which_for(VESTA.base.modulus)
+    pbuf = _params_pbuf(params)
+    m = FP.modulus
+    return [
+        native.msm_buf(
+            which, pbuf, [v % m for v in poly] + [0] * (params.n - len(poly)) + [blind % m]
+        )
+        for poly, blind in zip(polys, blinds)
+    ]
+
+
 def commit(params: Params, coeffs: list[int], blind: int) -> Point:
     """<coeffs, G> + [blind] W — one device MSM. With an active mesh
-    (parallel/context.py) the MSM is TP-sharded over the mesh axis."""
+    (parallel/context.py) the MSM is TP-sharded over the mesh axis; below
+    the latency threshold (ops/engine.py) it rides the native host
+    Pippenger instead of paying a relay dispatch."""
     assert len(coeffs) <= params.n
     from ..parallel.context import get_mesh, mesh_is_active
 
@@ -138,6 +168,10 @@ def commit(params: Params, coeffs: list[int], blind: int) -> Point:
 
         scalars = list(coeffs) + [0] * (params.n - len(coeffs)) + [blind]
         return sharded_msm_many(VESTA, params.g + [params.w], [scalars], get_mesh())[0]
+    from ..ops.engine import use_host_engine
+
+    if use_host_engine(params.n):
+        return _host_commit_many(params, [coeffs], [blind])[0]
     points = params.g[: len(coeffs)] + [params.w]
     scalars = list(coeffs) + [blind]
     return msm(VESTA, points, scalars)
@@ -174,11 +208,18 @@ def commit_lagrange_many(params: Params, domain, values_list: list, blinds: list
     assert len(values_list) == len(blinds)
     if not values_list:
         return [], []
-    if mesh_is_active() or (
-        not device_backend_is_tpu() and not _config().force_fused_commit
+    from ..ops.engine import use_host_engine
+
+    engine_host = use_host_engine(domain.n) and not _config().force_fused_commit
+    if (
+        mesh_is_active()
+        or engine_host
+        or (not device_backend_is_tpu() and not _config().force_fused_commit)
     ):
         from ..poly.transforms import batch_lagrange_to_coeff
 
+        # both stages route by tier: the iNTT through _maybe_native /
+        # _maybe_sharded, the commits through commit_many's host branch
         polys = batch_lagrange_to_coeff(domain, values_list)
         return polys, commit_many(params, polys, blinds)
 
@@ -251,14 +292,20 @@ def commit_many(params: Params, polys: list, blinds: list) -> list[Point]:
     assert len(polys) == len(blinds)
     if not polys:
         return []
-    points = params.g + [params.w]
-    scalars_list = [list(p) + [0] * (params.n - len(p)) + [b] for p, b in zip(polys, blinds)]
     from ..parallel.context import get_mesh, mesh_is_active
 
     if mesh_is_active():
         from ..parallel.msm import sharded_msm_many
 
+        points = params.g + [params.w]
+        scalars_list = [list(p) + [0] * (params.n - len(p)) + [b] for p, b in zip(polys, blinds)]
         return sharded_msm_many(VESTA, points, scalars_list, get_mesh())
+    from ..ops.engine import use_host_engine
+
+    if use_host_engine(params.n):
+        return _host_commit_many(params, polys, blinds)
+    points = params.g + [params.w]
+    scalars_list = [list(p) + [0] * (params.n - len(p)) + [b] for p, b in zip(polys, blinds)]
     return msm_many(VESTA, points, scalars_list)
 
 
@@ -331,6 +378,19 @@ def create_open_proof(
     c_coeff = np.ones(n, dtype=object)
     pos = np.arange(n)
 
+    # the per-round L/R MSMs ride the native Pippenger over a CACHED G
+    # buffer when available — rebuilding the 64-byte-per-point buffer every
+    # round is the dominant marshalling cost of the log-n fold
+    from .. import native as _native
+
+    _gbuf = None
+    if _native.available():
+        _gbuf = getattr(params, "_native_gbuf", None)
+        if _gbuf is None:
+            _gbuf = _native.points_buffer(params.g)
+            params._native_gbuf = _gbuf
+        _which = _native.which_for(VESTA.base.modulus)
+
     length = n
     while length > 1:
         half = length // 2
@@ -352,9 +412,13 @@ def create_open_proof(
         # Fiat-Shamir forces these log-n rounds to be SEQUENTIAL, so each
         # L/R pays full dispatch latency — the native host Pippenger
         # (prefer_host) computes them in ~ms with zero relay round trips
-        base_l, base_r = msm_many(
-            VESTA, params.g, [[int(t) for t in v_l], [int(t) for t in v_r]], prefer_host=True
-        )
+        if _gbuf is not None:
+            base_l = _native.msm_buf(_which, _gbuf, [int(t) for t in v_l])
+            base_r = _native.msm_buf(_which, _gbuf, [int(t) for t in v_r])
+        else:
+            base_l, base_r = msm_many(
+                VESTA, params.g, [[int(t) for t in v_l], [int(t) for t in v_r]], prefer_host=True
+            )
         L = msm(VESTA, [base_l, params.u, params.w], [1, value_l * z % m, l_rand], prefer_host=True)
         R = msm(VESTA, [base_r, params.u, params.w], [1, value_r * z % m, r_rand], prefer_host=True)
         transcript.write_point(L)

@@ -44,6 +44,21 @@ def _get_quotient_evaluator(vk, schedule):
     return ev
 
 
+def _get_native_quotient_evaluator(vk, schedule):
+    """Latency-tier twin (ops/native_quotient.py): same bytecode, native
+    C++ VM — cached on the vk like the device evaluator."""
+    ev = getattr(vk, "_native_quotient_evaluator", None)
+    if ev is None:
+        with _evaluator_lock:
+            ev = getattr(vk, "_native_quotient_evaluator", None)
+            if ev is None:
+                from ..ops.native_quotient import NativeQuotientEvaluator
+
+                ev = NativeQuotientEvaluator(vk, schedule)
+                vk._native_quotient_evaluator = ev
+    return ev
+
+
 class _Phase:
     """Span logger for the prover pipeline (SURVEY.md §5.1: per-phase
     commit/NTT/open timers; enable with BZ_TPU_TRACE=1)."""
@@ -428,10 +443,17 @@ def create_proof(
 
         h_coeffs = batch_extended_to_coeff(domain, [[int(v) for v in h_ext]])[0]
     else:
-        # device path: ONE jitted program evaluates every constraint over
-        # the extended coset, folds with y, divides by Z_H and returns the
-        # quotient coefficients (ops/gate_eval.py)
-        evaluator = _get_quotient_evaluator(vk, schedule)
+        # VM path: ONE program evaluates every constraint over the extended
+        # coset, folds with y, divides by Z_H and returns the quotient
+        # coefficients. The instruction stream is shared; the executor is
+        # the device scan (ops/gate_eval.py) or, below the latency
+        # threshold, the native C++ row-blocked VM (ops/native_quotient.py)
+        from ..ops.engine import use_host_engine
+
+        if use_host_engine(domain.n):
+            evaluator = _get_native_quotient_evaluator(vk, schedule)
+        else:
+            evaluator = _get_quotient_evaluator(vk, schedule)
         polys_by_key = {}
         for i, poly in enumerate(advice_polys):
             polys_by_key[("advice", i)] = poly

@@ -114,12 +114,38 @@ def _maybe_sharded(columns, n, omega, pre_g=1, post_g=1, post_k=1, what="sharded
     return _from_limb_batch(device_call(f, _to_limb_batch(columns), what=what))
 
 
+def _maybe_native(columns, n, omega, pre_g=1, post_g=1, post_k=1):
+    """Latency tier (ops/engine.py): run the batch through the native C++
+    NTT when the problem is below the routing threshold — at k=11/12 sizes
+    the transform is sub-millisecond on host while a device dispatch pays
+    ~1.5 s of relay latency. Returns None when routed to the device."""
+    from ..ops.engine import use_host_engine
+
+    if not use_host_engine(n):
+        return None
+    from .. import native
+
+    which = native.which_for(FP.modulus)
+    b = len(columns)
+    data = np.zeros((b, n, 32), np.uint8)
+    for i, col in enumerate(columns):
+        data[i, : len(col)] = native.ints_to_bytes_arr(col)
+    if pre_g != 1:
+        native.scale_batch(which, data, pre_g, 1)
+    native.ntt_batch(which, data, omega)
+    if post_g != 1 or post_k != 1:
+        native.scale_batch(which, data, post_g, post_k)
+    return [native.bytes_arr_to_ints(data[i]) for i in range(b)]
+
+
 def batch_lagrange_to_coeff(domain: EvaluationDomain, columns: list[list[int]]) -> list[list[int]]:
     if not columns:
         return []
     n_inv = pow(domain.n, -1, FP.modulus)
     omega_inv = pow(domain.omega, -1, FP.modulus)
     out = _maybe_sharded(columns, domain.n, omega_inv, post_k=n_inv, what="sharded batch iNTT")
+    if out is None:
+        out = _maybe_native(columns, domain.n, omega_inv, post_k=n_inv)
     if out is not None:
         return out
     f = _jit_lagrange_to_coeff(FP.modulus, domain.n, domain.omega)
@@ -130,6 +156,10 @@ def batch_coeff_to_lagrange(domain: EvaluationDomain, polys: list[list[int]]) ->
     if not polys:
         return []
     out = _maybe_sharded(polys, domain.n, domain.omega, what="sharded batch NTT")
+    if out is None:
+        out = _maybe_native(
+            [list(p) + [0] * (domain.n - len(p)) for p in polys], domain.n, domain.omega
+        )
     if out is not None:
         return out
     f = _jit_coeff_to_lagrange(FP.modulus, domain.n, domain.omega)
@@ -144,6 +174,8 @@ def batch_coeff_to_extended(domain: EvaluationDomain, polys: list[list[int]]) ->
     out = _maybe_sharded(
         padded, ext, domain.extended_omega, pre_g=domain.g_coset, what="sharded batch extended NTT"
     )
+    if out is None:
+        out = _maybe_native(padded, ext, domain.extended_omega, pre_g=domain.g_coset)
     if out is not None:
         return out
     f = _jit_coeff_to_extended(FP.modulus, ext, domain.extended_omega, domain.g_coset)
@@ -162,6 +194,14 @@ def batch_extended_to_coeff(domain: EvaluationDomain, evals: list[list[int]]) ->
         post_k=pow(ext, -1, FP.modulus),
         what="sharded batch extended iNTT",
     )
+    if out is None:
+        out = _maybe_native(
+            evals,
+            ext,
+            pow(domain.extended_omega, -1, FP.modulus),
+            post_g=domain.g_coset_inv,
+            post_k=pow(ext, -1, FP.modulus),
+        )
     if out is not None:
         return out
     f = _jit_extended_to_coeff(FP.modulus, ext, domain.extended_omega, domain.g_coset_inv)

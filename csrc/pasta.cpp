@@ -489,4 +489,151 @@ int64_t pasta_find_z(int which, const uint8_t* ys, int64_t z_max) {
     return -1;
 }
 
+// ---------------------------------------------------------------------------
+// Latency-tier polynomial engine (battlezips_halo2_tpu/ops/native_quotient.py
+// and poly/transforms.py): batch radix-2 NTT, coset power scaling, and a
+// bytecode VM executing the SAME instruction stream the device quotient
+// evaluator runs (ops/gate_eval.py _VMEmitter). At the reference's circuit
+// sizes (k=11/12; halo2 create_proof at src/circuits/board.rs:913-921) the
+// per-dispatch relay cost dwarfs the compute, so the adaptive runtime routes
+// sub-threshold transforms here; results are bit-identical to the device
+// path (same exact field ops), pinned by the golden proof-byte tests.
+
+// In-place batch forward NTT. data: b polynomials of n 32-byte LE canonical
+// reprs; omega: 32-byte canonical root of unity of order n. Values stay in
+// canonical form throughout: twiddles are kept in Montgomery form, so
+// fe_mul(value_canonical, twiddle_mont) = value * twiddle (canonical).
+void pasta_ntt_batch(int which, uint8_t* data, int64_t b, int64_t n, const uint8_t* omega_bytes) {
+    const FieldCtx* c = ctx_for(which);
+    if (n <= 1) return;
+    Fe omega, omega_m;
+    std::memcpy(&omega, omega_bytes, 32);
+    fe_to_mont(c, omega_m, omega);
+    int log_n = 0;
+    while (((int64_t)1 << log_n) < n) ++log_n;
+    std::vector<Fe> tw((size_t)(n / 2));
+    tw[0] = c->one;
+    for (int64_t i = 1; i < n / 2; ++i) fe_mul(c, tw[i], tw[i - 1], omega_m);
+#pragma omp parallel
+    {
+        std::vector<Fe> buf((size_t)n);
+#pragma omp for schedule(dynamic, 1)
+    for (int64_t pi = 0; pi < b; ++pi) {
+        Fe* a = buf.data();
+        std::memcpy(a, data + (size_t)pi * n * 32, (size_t)n * 32);
+        // bit-reversal permutation
+        for (int64_t i = 0, j = 0; i < n; ++i) {
+            if (j > i) std::swap(a[i], a[j]);
+            int64_t bit = n >> 1;
+            for (; j & bit; bit >>= 1) j ^= bit;
+            j |= bit;
+        }
+        for (int s = 1; s <= log_n; ++s) {
+            const int64_t m = (int64_t)1 << s, half = m >> 1;
+            const int64_t stride = n / m;
+            for (int64_t k0 = 0; k0 < n; k0 += m) {
+                for (int64_t j = 0; j < half; ++j) {
+                    Fe t, u = a[k0 + j];
+                    fe_mul(c, t, a[k0 + j + half], tw[(size_t)(j * stride)]);
+                    fe_add(c, a[k0 + j], u, t);
+                    fe_sub(c, a[k0 + j + half], u, t);
+                }
+            }
+        }
+        std::memcpy(data + (size_t)pi * n * 32, a, (size_t)n * 32);
+    }
+    }
+}
+
+// data[j][i] *= mult * g^i for each of b polynomials of length n (canonical
+// in/out). Covers coset scaling (g = coset generator, mult = 1), coset
+// unscaling (g = g^-1, mult = 1/N) and plain iNTT normalization (g = 1).
+void pasta_scale_batch(int which, uint8_t* data, int64_t b, int64_t n,
+                       const uint8_t* g_bytes, const uint8_t* mult_bytes) {
+    const FieldCtx* c = ctx_for(which);
+    Fe g, gm, mult, mm;
+    std::memcpy(&g, g_bytes, 32);
+    std::memcpy(&mult, mult_bytes, 32);
+    fe_to_mont(c, gm, g);
+    fe_to_mont(c, mm, mult);
+    std::vector<Fe> pw((size_t)n);
+    pw[0] = mm;  // mont(mult * g^i): fe_mul(canonical, mont) -> canonical
+    for (int64_t i = 1; i < n; ++i) fe_mul(c, pw[i], pw[i - 1], gm);
+#pragma omp parallel for schedule(static) collapse(2)
+    for (int64_t pi = 0; pi < b; ++pi) {
+        for (int64_t i = 0; i < n; ++i) {
+            Fe a;
+            uint8_t* p = data + ((size_t)pi * n + i) * 32;
+            std::memcpy(&a, p, 32);
+            fe_mul(c, a, a, pw[i]);
+            std::memcpy(p, &a, 32);
+        }
+    }
+}
+
+// Bytecode VM executor (the host twin of ops/gate_eval.py's lax.scan VM).
+// prog: n_instr rows of (op, src_a, src_b, dst) int32 register indices with
+// op 0=mul 1=add 2=sub; regs: n_regs * ext * 32-byte canonical reprs
+// (register-major). Execution is row-blocked: every op is elementwise
+// across the ext axis, so each block of rows runs the whole program on a
+// thread-local Montgomery register file that stays cache-resident. On
+// return `out` holds register 0 (the y-fold aggregate) in canonical form.
+void pasta_vm_exec(int which, const int32_t* prog, int64_t n_instr,
+                   const uint8_t* regs_bytes, int64_t n_regs, int64_t ext,
+                   uint8_t* out) {
+    const FieldCtx* c = ctx_for(which);
+    const int64_t BLOCK = 256;
+#pragma omp parallel
+    {
+        std::vector<Fe> regs((size_t)n_regs * BLOCK);
+#pragma omp for schedule(dynamic, 1)
+        for (int64_t r0 = 0; r0 < ext; r0 += BLOCK) {
+            const int64_t len = (r0 + BLOCK <= ext) ? BLOCK : ext - r0;
+            for (int64_t r = 0; r < n_regs; ++r) {
+                const uint8_t* src = regs_bytes + ((size_t)r * ext + r0) * 32;
+                Fe* dstv = &regs[(size_t)r * BLOCK];
+                for (int64_t i = 0; i < len; ++i) {
+                    std::memcpy(&dstv[i], src + (size_t)i * 32, 32);
+                    fe_to_mont(c, dstv[i], dstv[i]);
+                }
+            }
+            for (int64_t ins = 0; ins < n_instr; ++ins) {
+                const int32_t op = prog[ins * 4];
+                const Fe* a = &regs[(size_t)prog[ins * 4 + 1] * BLOCK];
+                const Fe* bb = &regs[(size_t)prog[ins * 4 + 2] * BLOCK];
+                Fe* d = &regs[(size_t)prog[ins * 4 + 3] * BLOCK];
+                if (op == 0) {
+                    for (int64_t i = 0; i < len; ++i) fe_mul(c, d[i], a[i], bb[i]);
+                } else if (op == 1) {
+                    for (int64_t i = 0; i < len; ++i) fe_add(c, d[i], a[i], bb[i]);
+                } else {
+                    for (int64_t i = 0; i < len; ++i) fe_sub(c, d[i], a[i], bb[i]);
+                }
+            }
+            for (int64_t i = 0; i < len; ++i) {
+                Fe r;
+                fe_from_mont(c, r, regs[(size_t)i]);
+                std::memcpy(out + (size_t)(r0 + i) * 32, &r, 32);
+            }
+        }
+    }
+}
+
+// Elementwise product of two canonical byte vectors (the h_ext * 1/Z_H
+// step), OpenMP over rows — pasta_mul_batch without the list marshalling.
+void pasta_mul_vec(int which, const uint8_t* a, const uint8_t* b, uint8_t* out, int64_t n) {
+    const FieldCtx* c = ctx_for(which);
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; ++i) {
+        Fe fa, fb, r;
+        std::memcpy(&fa, a + 32 * i, 32);
+        std::memcpy(&fb, b + 32 * i, 32);
+        fe_to_mont(c, fa, fa);
+        fe_to_mont(c, fb, fb);
+        fe_mul(c, r, fa, fb);
+        fe_from_mont(c, r, r);
+        std::memcpy(out + 32 * i, &r, 32);
+    }
+}
+
 }  // extern "C"

@@ -1,0 +1,119 @@
+"""Native host (latency-tier) engine parity tests.
+
+The adaptive proof engine (ops/engine.py, config.proof_engine) routes
+sub-threshold work through the native C++ runtime: batch NTT, the
+quotient bytecode VM and the Pippenger commits. Every result must be
+BIT-IDENTICAL to the XLA path — same exact field arithmetic, different
+executor — mirroring the device/host cross-checks the reference gets for
+free from running everything in one Rust process."""
+
+import random
+
+import pytest
+
+from battlezips_halo2_tpu import native
+from battlezips_halo2_tpu.fields.host import FP
+from battlezips_halo2_tpu.poly.domain import EvaluationDomain, ntt_host
+
+pytestmark = pytest.mark.skipif(not native.available(), reason="native runtime unavailable")
+
+P = FP.modulus
+
+
+class TestNativeTransforms:
+    """csrc/pasta.cpp pasta_ntt_batch / pasta_scale_batch vs the exact
+    host NTT (poly/domain.py)."""
+
+    def test_ntt_matches_host(self):
+        rng = random.Random(11)
+        for k in (3, 8, 11):
+            n = 1 << k
+            dom = EvaluationDomain(k, 2)
+            vals = [rng.randrange(P) for _ in range(n)]
+            data = native.ints_to_bytes_arr(vals).reshape(1, n, 32)
+            native.ntt_batch(native.FIELD_FP, data, dom.omega)
+            assert native.bytes_arr_to_ints(data.reshape(n, 32)) == ntt_host(vals, dom.omega)
+
+    def test_intt_round_trip_with_scale(self):
+        rng = random.Random(12)
+        n = 1 << 9
+        dom = EvaluationDomain(9, 2)
+        vals = [rng.randrange(P) for _ in range(n)]
+        data = native.ints_to_bytes_arr(vals).reshape(1, n, 32)
+        native.ntt_batch(native.FIELD_FP, data, dom.omega)
+        native.ntt_batch(native.FIELD_FP, data, pow(dom.omega, -1, P))
+        native.scale_batch(native.FIELD_FP, data, 1, pow(n, -1, P))
+        assert native.bytes_arr_to_ints(data.reshape(n, 32)) == vals
+
+    def test_coset_scale(self):
+        rng = random.Random(13)
+        n = 64
+        g = FP.generator
+        vals = [rng.randrange(P) for _ in range(n)]
+        data = native.ints_to_bytes_arr(vals).reshape(1, n, 32)
+        native.scale_batch(native.FIELD_FP, data, g, 5)
+        got = native.bytes_arr_to_ints(data.reshape(n, 32))
+        assert got == [v * 5 * pow(g, i, P) % P for i, v in enumerate(vals)]
+
+    def test_batch_transforms_route_native(self, monkeypatch):
+        """poly/transforms.py _maybe_native vs the XLA path, bit-exact for
+        all four basis transforms."""
+        from battlezips_halo2_tpu.poly import transforms as T
+
+        rng = random.Random(14)
+        dom = EvaluationDomain(6, 3)
+        cols = [[rng.randrange(P) for _ in range(dom.n)] for _ in range(3)]
+        monkeypatch.setenv("BZ_PROOF_ENGINE", "host")
+        host_coeffs = T.batch_lagrange_to_coeff(dom, cols)
+        host_vals = T.batch_coeff_to_lagrange(dom, host_coeffs)
+        host_ext = T.batch_coeff_to_extended(dom, host_coeffs)
+        host_back = T.batch_extended_to_coeff(dom, host_ext)
+        monkeypatch.setenv("BZ_PROOF_ENGINE", "device")
+        dev_coeffs = T.batch_lagrange_to_coeff(dom, cols)
+        assert host_coeffs == dev_coeffs
+        assert host_vals == cols
+        assert host_ext == T.batch_coeff_to_extended(dom, host_coeffs)
+        assert [p[: dom.n] for p in host_back] == host_coeffs
+
+
+class TestNativeProofParity:
+    """Proof bytes through the host engine == proof bytes through the
+    device (XLA) engine, seed for seed."""
+
+    def _mul_proof(self, monkeypatch, engine: str) -> bytes:
+        from battlezips_halo2_tpu.pcs.ipa import Params
+        from battlezips_halo2_tpu.plonk import create_proof, keygen, verify_proof
+        from test_prover import MulCircuit
+
+        monkeypatch.setenv("BZ_PROOF_ENGINE", engine)
+        params = Params.new(5)
+        pk = keygen(params, MulCircuit(1, 1, 1))
+        proof = create_proof(params, pk, MulCircuit(3, 5, 15), [[15]], random.Random(7))
+        assert verify_proof(params, pk.vk, proof, [[15]])
+        return proof
+
+    def test_host_and_device_proof_bytes_identical(self, monkeypatch):
+        host = self._mul_proof(monkeypatch, "host")
+        device = self._mul_proof(monkeypatch, "device")
+        assert host == device
+
+    def test_native_quotient_matches_device_vm(self, monkeypatch):
+        """NativeQuotientEvaluator and the device VM run the same bytecode;
+        compare their h outputs directly for one challenge set."""
+        from battlezips_halo2_tpu.ops.gate_eval import QuotientEvaluator
+        from battlezips_halo2_tpu.ops.native_quotient import NativeQuotientEvaluator
+        from battlezips_halo2_tpu.pcs.ipa import Params
+        from battlezips_halo2_tpu.plonk import keygen
+        from battlezips_halo2_tpu.plonk.arguments import ProofSchedule
+        from test_prover import MulCircuit
+
+        params = Params.new(5)
+        pk = keygen(params, MulCircuit(1, 1, 1))
+        schedule = ProofSchedule.build(pk.vk.cs)
+        dev = QuotientEvaluator(pk.vk, schedule)
+        nat = NativeQuotientEvaluator(pk.vk, schedule)
+        assert dev.vm_size == nat.vm_size
+        rng = random.Random(21)
+        polys = {k: [rng.randrange(P) for _ in range(params.n)] for k in dev.keys}
+        chals = tuple(rng.randrange(P) for _ in range(4))
+        assert nat(polys, chals) == dev(polys, chals)
