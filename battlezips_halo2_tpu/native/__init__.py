@@ -73,6 +73,10 @@ def load():
             ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
         ]
         lib.pasta_mul_vec.argtypes = [ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+        lib.pasta_axpy.argtypes = [ctypes.c_int, ctypes.c_void_p, ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+        lib.pasta_horner.argtypes = [ctypes.c_int, ctypes.c_void_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_char_p]
+        lib.pasta_inner.argtypes = [ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_char_p]
+        lib.pasta_div_linear.argtypes = [ctypes.c_int, ctypes.c_void_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_char_p]
         _lib = lib
     except OSError:
         _lib = None
@@ -189,6 +193,60 @@ def mul_vec(which: int, a, b):
     out = np.empty((n, 32), dtype=np.uint8)
     lib.pasta_mul_vec(which, _buf_ptr(a), _buf_ptr(b), _buf_ptr(out), n)
     return out
+
+
+def axpy(which: int, a, s: int, b):
+    """out = a * s + b over (n, 32) canonical-bytes arrays (scalar s)."""
+    import numpy as np
+
+    lib = load()
+    n = a.shape[0]
+    out = np.empty((n, 32), dtype=np.uint8)
+    lib.pasta_axpy(which, _buf_ptr(a), int(s).to_bytes(32, "little"), _buf_ptr(b), _buf_ptr(out), n)
+    return out
+
+
+def horner(which: int, coeffs, x: int) -> int:
+    """Evaluate a (n, 32) canonical-bytes polynomial at x."""
+    lib = load()
+    out = ctypes.create_string_buffer(32)
+    lib.pasta_horner(which, _buf_ptr(coeffs), coeffs.shape[0], int(x).to_bytes(32, "little"), out)
+    return int.from_bytes(out.raw, "little")
+
+
+def inner(which: int, a, b) -> int:
+    """<a, b> over (n, 32) canonical-bytes arrays."""
+    lib = load()
+    out = ctypes.create_string_buffer(32)
+    lib.pasta_inner(which, _buf_ptr(a), _buf_ptr(b), a.shape[0], out)
+    return int.from_bytes(out.raw, "little")
+
+
+def div_linear(which: int, poly, point: int) -> int:
+    """In-place synthetic division of a (n, 32) canonical-bytes polynomial
+    by (X - point); returns the remainder (caller asserts exactness)."""
+    lib = load()
+    rem = ctypes.create_string_buffer(32)
+    lib.pasta_div_linear(which, _buf_ptr(poly), poly.shape[0], int(point).to_bytes(32, "little"), rem)
+    return int.from_bytes(rem.raw, "little")
+
+
+def msm_buf_scalars(which: int, pbuf: bytes, sarr) -> tuple | None:
+    """MSM over a prebuilt point buffer with scalars as an (n, 32)
+    canonical-bytes array — zero per-scalar Python marshalling."""
+    import numpy as np
+
+    lib = load()
+    n = len(pbuf) // 64
+    sarr = np.ascontiguousarray(sarr)
+    assert sarr.shape[0] == n
+    out = ctypes.create_string_buffer(64)
+    lib.pasta_msm(which, pbuf, sarr.ctypes.data_as(ctypes.c_char_p), out, n)
+    x = int.from_bytes(out.raw[:32], "little")
+    y = int.from_bytes(out.raw[32:], "little")
+    if x == 0 and y == 0:
+        return None
+    return (x, y)
 
 
 def msm_buf(which: int, pbuf: bytes, scalars) -> tuple | None:

@@ -65,7 +65,11 @@ class NativeQuotientEvaluator:
         batch = np.zeros((len(self.keys), ext, 32), dtype=np.uint8)
         for i, key in enumerate(self.keys):
             poly = coeff_polys_by_key[key]
-            batch[i, : len(poly)] = native.ints_to_bytes_arr(poly)
+            pre = getattr(poly, "bytes_arr", None)  # PolyInts side channel
+            if pre is not None:
+                batch[i, : pre.shape[0]] = pre
+            else:
+                batch[i, : len(poly)] = native.ints_to_bytes_arr(poly)
         native.scale_batch(which, batch, domain.g_coset, 1)
         native.ntt_batch(which, batch, domain.extended_omega)
 

@@ -35,6 +35,21 @@ from ..plonk.transcript import TranscriptRead, TranscriptWrite
 SRS_DOMAIN = b"battlezips-tpu:srs"
 
 
+class PolyInts(list):
+    """Coefficient list that also carries its (n, 32) canonical-bytes array
+    so downstream native consumers (quotient batch build, Horner evals)
+    skip the per-coefficient int->bytes marshalling. Semantically a plain
+    list; the ``bytes_arr`` attribute is an optimization side channel."""
+
+    __slots__ = ("bytes_arr",)
+
+    @staticmethod
+    def wrap(ints, bytes_arr):
+        p = PolyInts(ints)
+        p.bytes_arr = bytes_arr
+        return p
+
+
 def _derive_point(curve: Curve, label: bytes, index: int) -> Point:
     """Deterministic nothing-up-my-sleeve point: try-and-increment over a
     blake2b counter stream."""
@@ -211,11 +226,38 @@ def commit_lagrange_many(params: Params, domain, values_list: list, blinds: list
     from ..ops.engine import use_host_engine
 
     engine_host = use_host_engine(domain.n) and not _config().force_fused_commit
-    if (
-        mesh_is_active()
-        or engine_host
-        or (not device_backend_is_tpu() and not _config().force_fused_commit)
-    ):
+    if engine_host and not mesh_is_active():
+        # latency tier, fully in canonical-bytes form: native iNTT feeds the
+        # native Pippenger directly — no per-coefficient Python between the
+        # transform and the commit (the int materialization happens once,
+        # for the coefficient polys the rest of the prover consumes)
+        import numpy as np
+
+        from .. import native
+
+        which_fp = native.which_for(FP.modulus)
+        which_pt = native.which_for(VESTA.base.modulus)
+        n = domain.n
+        b = len(values_list)
+        data = np.zeros((b, n, 32), np.uint8)
+        for i, col in enumerate(values_list):
+            data[i] = native.ints_to_bytes_arr([v % FP.modulus for v in col])
+        native.ntt_batch(which_fp, data, pow(domain.omega, -1, FP.modulus))
+        native.scale_batch(which_fp, data, 1, pow(n, -1, FP.modulus))
+        pbuf = _params_pbuf(params)
+        points = []
+        sc = np.empty((n + 1, 32), np.uint8)
+        for i in range(b):
+            sc[:n] = data[i]
+            sc[n] = np.frombuffer(
+                (blinds[i] % FP.modulus).to_bytes(32, "little"), dtype=np.uint8
+            )
+            points.append(native.msm_buf_scalars(which_pt, pbuf, sc))
+        polys = [
+            PolyInts.wrap(native.bytes_arr_to_ints(data[i]), data[i]) for i in range(b)
+        ]
+        return polys, points
+    if mesh_is_active() or (not device_backend_is_tpu() and not _config().force_fused_commit):
         from ..poly.transforms import batch_lagrange_to_coeff
 
         # both stages route by tier: the iNTT through _maybe_native /
@@ -314,6 +356,108 @@ def _inner(a: list[int], b: list[int]) -> int:
     for x, y in zip(a, b):
         acc += x * y
     return acc % FP.modulus
+
+
+def _create_open_proof_native(
+    params: Params,
+    transcript: TranscriptWrite,
+    coeffs_arr,
+    blind: int,
+    x: int,
+    rng,
+):
+    """Latency-tier IPA opening: the same round structure as
+    create_open_proof below with the polynomial / b-vector / G-coefficient
+    state held as (n, 32) canonical-bytes arrays and every vector op in the
+    native runtime — the log-n Fiat-Shamir rounds cost ~1 ms each instead
+    of ~40 ms of object-array Python. Bit-identical by construction."""
+    import numpy as np
+
+    from .. import native
+
+    m = FP.modulus
+    n = params.n
+    which = native.which_for(m)
+    which_pt = native.which_for(VESTA.base.modulus)
+    gbuf = getattr(params, "_native_gbuf", None)
+    if gbuf is None:
+        gbuf = native.points_buffer(params.g)
+        params._native_gbuf = gbuf
+
+    def row_int(arr, i):
+        return int.from_bytes(arr[i].tobytes(), "little")
+
+    def set_row(arr, i, v):
+        arr[i] = np.frombuffer((v % m).to_bytes(32, "little"), dtype=np.uint8)
+
+    p_prime = np.zeros((n, 32), np.uint8)
+    p_prime[: coeffs_arr.shape[0]] = coeffs_arr[:n]
+    # b = (1, x, x^2, ...): scale a vector of ones by powers of x
+    b = np.zeros((1, n, 32), np.uint8)
+    b[:, :, 0] = 1
+    native.scale_batch(which, b, x, 1)
+    b = b[0]
+
+    s_ints = [FP.random(rng) for _ in range(n)]
+    s_arr = native.ints_to_bytes_arr(s_ints)
+    s_at_x = native.horner(which, s_arr, x)
+    set_row(s_arr, 0, s_ints[0] - s_at_x)
+    s_blind = FP.random(rng)
+    sc = np.empty((n + 1, 32), np.uint8)
+    sc[:n] = s_arr
+    set_row(sc, n, s_blind)
+    transcript.write_point(native.msm_buf_scalars(which_pt, _params_pbuf(params), sc))
+
+    xi = transcript.squeeze_challenge()
+    z = transcript.squeeze_challenge()
+
+    p_prime = native.axpy(which, s_arr, xi, p_prime)  # xi*S + P
+    v = native.inner(which, p_prime, b)  # p'(x)
+    set_row(p_prime, 0, row_int(p_prime, 0) - v)
+    f = (blind + xi * s_blind) % m
+
+    c_coeff = np.zeros((n, 32), np.uint8)
+    c_coeff[:, 0] = 1
+    zeros = np.zeros((n, 32), np.uint8)
+    pos = np.arange(n)
+
+    length = n
+    while length > 1:
+        half = length // 2
+        p_lo, p_hi = p_prime[:half], p_prime[half:length]
+        b_lo, b_hi = b[:half], b[half:length]
+
+        l_rand = FP.random(rng)
+        r_rand = FP.random(rng)
+        value_l = native.inner(which, p_hi, b_lo)
+        value_r = native.inner(which, p_lo, b_hi)
+
+        hi_mask = pos >= half
+        gather_l = p_prime[np.where(~hi_mask, pos + half, 0)]
+        gather_r = p_prime[np.where(hi_mask, pos - half, 0)]
+        v_l = native.mul_vec(which, c_coeff, gather_l)
+        v_r = native.mul_vec(which, c_coeff, gather_r)
+        v_l[hi_mask] = 0
+        v_r[~hi_mask] = 0
+        base_l = native.msm_buf_scalars(which_pt, gbuf, v_l)
+        base_r = native.msm_buf_scalars(which_pt, gbuf, v_r)
+        L = msm(VESTA, [base_l, params.u, params.w], [1, value_l * z % m, l_rand], prefer_host=True)
+        R = msm(VESTA, [base_r, params.u, params.w], [1, value_r * z % m, r_rand], prefer_host=True)
+        transcript.write_point(L)
+        transcript.write_point(R)
+        u = transcript.squeeze_challenge_nonzero()
+        u_inv = FP.inv(u)
+
+        p_prime = native.axpy(which, p_hi, u_inv, p_lo)
+        b = native.axpy(which, b_hi, u, b_lo)
+        scaled = native.axpy(which, c_coeff, u, zeros)
+        c_coeff = np.where(hi_mask[:, None], scaled, c_coeff)
+        pos = np.where(hi_mask, pos - half, pos)
+        f = (f + u_inv * l_rand + u * r_rand) % m
+        length = half
+
+    transcript.write_scalar(row_int(p_prime, 0))
+    transcript.write_scalar(f)
 
 
 def create_open_proof(

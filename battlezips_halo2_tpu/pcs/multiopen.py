@@ -95,11 +95,104 @@ def _poly_divide_linear(poly: list[int], point: int) -> list[int]:
     return out
 
 
+def _multiopen_prove_native(params: Params, transcript: TranscriptWrite, queries: list[Query], rng):
+    """Latency-tier multiopen: identical fold/commit structure, with every
+    length-n polynomial held as a (n, 32) canonical-bytes array and the
+    Horner folds / linear divisions / evaluations running in the native
+    runtime (pasta_axpy / pasta_div_linear / pasta_horner). Bit-identical
+    to the object-array path below (exact field ops in the same order)."""
+    import numpy as np
+
+    from .. import native
+    from .ipa import _params_pbuf
+
+    which = native.which_for(FP.modulus)
+    x1 = transcript.squeeze_challenge()
+    x2 = transcript.squeeze_challenge()
+    _, by_poly, set_order, sets = _group(queries, key_fn=lambda q: id(q.poly))
+
+    width = params.n
+    for k in by_poly:
+        assert len(by_poly[k]["queries"][0].poly) <= width, "poly exceeds SRS size"
+    arr_cache: dict = {}
+
+    def poly_arr(k):
+        if k not in arr_cache:
+            poly = by_poly[k]["queries"][0].poly
+            a = np.zeros((width, 32), np.uint8)
+            pre = getattr(poly, "bytes_arr", None)  # PolyInts side channel
+            if pre is not None:
+                a[: pre.shape[0]] = pre
+            else:
+                a[: len(poly)] = native.ints_to_bytes_arr([v % P for v in poly])
+            arr_cache[k] = a
+        return arr_cache[k]
+
+    q_arrs, q_blinds, q_evals = [], [], []
+    for pts in set_order:
+        acc = np.zeros((width, 32), np.uint8)
+        blind_acc = 0
+        evals = {p: 0 for p in pts}
+        for k in sets[pts]:
+            info = by_poly[k]
+            acc = native.axpy(which, acc, x1, poly_arr(k))
+            blind_acc = (blind_acc * x1 + info["queries"][0].blind) % P
+            ev_by_point = {q.point: q.eval for q in info["queries"]}
+            for p in pts:
+                evals[p] = (evals[p] * x1 + ev_by_point[p]) % P
+        q_arrs.append(acc)
+        q_blinds.append(blind_acc)
+        q_evals.append(evals)
+
+    f_acc = np.zeros((width, 32), np.uint8)
+    for pts, qa, qe in zip(set_order, q_arrs, q_evals):
+        r = lagrange_interpolate(list(pts), [qe[p] for p in pts])
+        r_arr = np.zeros((width, 32), np.uint8)
+        r_arr[: len(r)] = native.ints_to_bytes_arr([v % P for v in r])
+        quotient = native.axpy(which, r_arr, P - 1, qa)  # qa - r
+        for p in pts:
+            rem = native.div_linear(which, quotient, p)
+            assert rem == 0, "non-zero remainder in multiopen division"
+        f_acc = native.axpy(which, f_acc, x2, quotient)
+
+    f_blind = FP.random(rng)
+    pbuf = _params_pbuf(params)
+    which_pt = native.which_for(VESTA.base.modulus)
+
+    def commit_arr(arr, blind):
+        sc = np.empty((params.n + 1, 32), np.uint8)
+        sc[: params.n] = arr[: params.n]
+        sc[params.n] = np.frombuffer((blind % P).to_bytes(32, "little"), dtype=np.uint8)
+        return native.msm_buf_scalars(which_pt, pbuf, sc)
+
+    transcript.write_point(commit_arr(f_acc, f_blind))
+    x3 = transcript.squeeze_challenge()
+
+    q_at_x3 = [native.horner(which, qa, x3) for qa in q_arrs]
+    for v in q_at_x3:
+        transcript.write_scalar(v)
+    x4 = transcript.squeeze_challenge()
+
+    final_acc = f_acc
+    final_blind = f_blind
+    for qa, qb in zip(q_arrs, q_blinds):
+        final_acc = native.axpy(which, final_acc, x4, qa)
+        final_blind = (final_blind * x4 + qb) % P
+
+    from .ipa import _create_open_proof_native
+
+    _create_open_proof_native(params, transcript, final_acc, final_blind, x3, rng)
+
+
 def multiopen_prove(params: Params, transcript: TranscriptWrite, queries: list[Query], rng):
     """halo2 0.2.0 structure (poly/multiopen.rs create_proof): x1 and x2
     squeezed back-to-back; ALL combinations are Horner folds in query order
     (q_poly = fold acc·x1 + poly; f = fold acc·x2 + quotient; final
     p = f then fold acc·x4 + q_i)."""
+    from .. import native
+
+    if native.available():
+        return _multiopen_prove_native(params, transcript, queries, rng)
     x1 = transcript.squeeze_challenge()
     x2 = transcript.squeeze_challenge()
     _, by_poly, set_order, sets = _group(queries, key_fn=lambda q: id(q.poly))

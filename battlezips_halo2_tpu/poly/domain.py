@@ -144,6 +144,12 @@ class EvaluationDomain:
 
 
 def eval_poly_coeffs(coeffs: list[int], x: int, field: Field = FP) -> int:
+    pre = getattr(coeffs, "bytes_arr", None)  # PolyInts side channel
+    if pre is not None and field is FP:
+        from .. import native
+
+        if native.available():
+            return native.horner(native.which_for(field.modulus), pre, x % field.modulus)
     acc = 0
     for c in reversed(coeffs):
         acc = (acc * x + c) % field.modulus

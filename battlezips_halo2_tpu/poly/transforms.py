@@ -135,7 +135,11 @@ def _maybe_native(columns, n, omega, pre_g=1, post_g=1, post_k=1):
     native.ntt_batch(which, data, omega)
     if post_g != 1 or post_k != 1:
         native.scale_batch(which, data, post_g, post_k)
-    return [native.bytes_arr_to_ints(data[i]) for i in range(b)]
+    from ..pcs.ipa import PolyInts
+
+    return [
+        PolyInts.wrap(native.bytes_arr_to_ints(data[i]), data[i]) for i in range(b)
+    ]
 
 
 def batch_lagrange_to_coeff(domain: EvaluationDomain, columns: list[list[int]]) -> list[list[int]]:

@@ -619,6 +619,87 @@ void pasta_vm_exec(int which, const int32_t* prog, int64_t n_instr,
     }
 }
 
+// out[i] = a[i] * s + b[i] over canonical byte vectors — the Horner fold
+// primitive of the multiopen / IPA host phases (poly_acc = poly_acc * x1
+// + poly, p' = p_lo + u^-1 * p_hi, ...).
+void pasta_axpy(int which, const uint8_t* a, const uint8_t* s_bytes,
+                const uint8_t* b, uint8_t* out, int64_t n) {
+    const FieldCtx* c = ctx_for(which);
+    Fe s, sm;
+    std::memcpy(&s, s_bytes, 32);
+    fe_to_mont(c, sm, s);  // fe_mul(canonical, mont) -> canonical product
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; ++i) {
+        Fe fa, fb, r;
+        std::memcpy(&fa, a + 32 * i, 32);
+        std::memcpy(&fb, b + 32 * i, 32);
+        fe_mul(c, r, fa, sm);
+        fe_add(c, r, r, fb);
+        std::memcpy(out + 32 * i, &r, 32);
+    }
+}
+
+// Horner evaluation of an n-coefficient canonical-bytes polynomial at x.
+void pasta_horner(int which, const uint8_t* coeffs, int64_t n,
+                  const uint8_t* x_bytes, uint8_t* out) {
+    const FieldCtx* c = ctx_for(which);
+    Fe x, xm, acc = {{0, 0, 0, 0}};
+    std::memcpy(&x, x_bytes, 32);
+    fe_to_mont(c, xm, x);
+    for (int64_t i = n - 1; i >= 0; --i) {
+        Fe co;
+        std::memcpy(&co, coeffs + 32 * i, 32);
+        fe_mul(c, acc, acc, xm);  // canonical * mont -> canonical
+        fe_add(c, acc, acc, co);
+    }
+    std::memcpy(out, &acc, 32);
+}
+
+// Inner product <a, b> of two canonical byte vectors.
+void pasta_inner(int which, const uint8_t* a, const uint8_t* b,
+                 int64_t n, uint8_t* out) {
+    const FieldCtx* c = ctx_for(which);
+    Fe total = {{0, 0, 0, 0}};
+#pragma omp parallel
+    {
+        Fe local = {{0, 0, 0, 0}};
+#pragma omp for schedule(static) nowait
+        for (int64_t i = 0; i < n; ++i) {
+            Fe fa, fb, r;
+            std::memcpy(&fa, a + 32 * i, 32);
+            std::memcpy(&fb, b + 32 * i, 32);
+            fe_to_mont(c, fa, fa);
+            fe_mul(c, r, fa, fb);  // mont * canonical -> canonical
+            fe_add(c, local, local, r);
+        }
+#pragma omp critical
+        fe_add(c, total, total, local);
+    }
+    std::memcpy(out, &total, 32);
+}
+
+// In-place synthetic division of poly by (X - point); the degree drops by
+// one (the final slot is zeroed) and the remainder is returned through
+// rem_out for the caller's exactness assertion.
+void pasta_div_linear(int which, uint8_t* poly, int64_t n,
+                      const uint8_t* point_bytes, uint8_t* rem_out) {
+    const FieldCtx* c = ctx_for(which);
+    Fe x, xm, rem = {{0, 0, 0, 0}};
+    std::memcpy(&x, point_bytes, 32);
+    fe_to_mont(c, xm, x);
+    std::vector<Fe> src((size_t)n);
+    std::memcpy(src.data(), poly, (size_t)n * 32);
+    for (int64_t i = n - 1; i >= 0; --i) {
+        Fe cur;
+        fe_mul(c, cur, rem, xm);
+        fe_add(c, cur, cur, src[(size_t)i]);
+        if (i > 0) std::memcpy(poly + 32 * (i - 1), &cur, 32);
+        rem = cur;
+    }
+    std::memset(poly + 32 * (n - 1), 0, 32);
+    std::memcpy(rem_out, &rem, 32);
+}
+
 // Elementwise product of two canonical byte vectors (the h_ext * 1/Z_H
 // step), OpenMP over rows — pasta_mul_batch without the list marshalling.
 void pasta_mul_vec(int which, const uint8_t* a, const uint8_t* b, uint8_t* out, int64_t n) {
