@@ -83,9 +83,14 @@ import os
 
 from ..config import config as _config
 
-# measured crossover on TPU v5e (tools/exp_ntt_variants.py, BENCH_NOTES.md):
-# set high until the on-chip numbers justify flipping; "BZ_NTT_MM=on" forces
-_NTT_MM_MIN_N = 1 << 30
+# measured crossover on TPU v5e (tools/exp_ntt_variants.py 2026-08-20,
+# BENCH_NOTES.md round 4): the matmul 4-step beats the butterfly path from
+# 2^16 (39.7 vs 46.9 ms) with a widening gap at 2^18 (171.5 vs 247.4 ms),
+# so auto routes it for n >= 2^14. Upper bound: fp_const_matmul's i32
+# diagonal accumulator requires the contraction dim <= 1024, i.e. n <=
+# 2^21 in the 4-step split (ops/ntt_mm.py assert); "BZ_NTT_MM=on" forces
+_NTT_MM_MIN_N = 1 << 14
+_NTT_MM_MAX_N = 1 << 21
 # transposed fused butterfly (pallas_kernels.butterfly_stage_T): in the
 # (16, lanes) layout a stage needs NO gathers (groups are contiguous lane
 # slices and the output interleave is a static stack), and the i32 fused
@@ -139,7 +144,9 @@ def ntt(plan: NttPlan, a):
     n = plan.n
     batch = a.shape[:-2]
     mm_mode = _config().ntt_mm
-    if mm_mode == "on" or (mm_mode == "auto" and n >= _NTT_MM_MIN_N and _pallas_ok()):
+    if mm_mode == "on" or (
+        mm_mode == "auto" and _NTT_MM_MIN_N <= n <= _NTT_MM_MAX_N and _pallas_ok()
+    ):
         # matmul 4-step path: MXU-bound instead of gather/HBM-bound — the
         # default on TPU for sizes where it wins (tools/exp_ntt_variants.py)
         from .ntt_mm import mm_plan_for, ntt_mm

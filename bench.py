@@ -130,10 +130,11 @@ def bench_msm(log_size: int, iters: int):
     assert got == host_msm(VESTA, points, collapsed), "device MSM mismatch vs host reference"
 
     # timed: fresh rho powers (16*K*4 B upload; scalars derive on device);
-    # best of two calls — a single call eats one relay round-trip + queue
-    # jitter that K only partially amortizes
+    # best of three calls — a single call eats one relay round-trip + queue
+    # jitter that K only partially amortizes, and run-to-run relay variance
+    # is +-20% for identical code (BENCH_NOTES round-4 variance table)
     best = None
-    for seed in (2, 3):
+    for seed in (2, 3, 4):
         _, rho_monts2 = rho_stack(seed)
         t0 = time.time()
         _ = fold(chained(qx, qy, qinf, base_mont, rho_monts2))
@@ -361,7 +362,7 @@ def main():
         choices=["msm", "ntt", "shot-proof", "board-proof", "board-verify", "session"],
     )
     ap.add_argument("--log-size", type=int, default=None)
-    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=24)
     ap.add_argument("--games", type=int, default=2, help="session metric: game count")
     ap.add_argument("--shots", type=int, default=8, help="session metric: shots per game")
     args = ap.parse_args()
