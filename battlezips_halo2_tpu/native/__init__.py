@@ -189,10 +189,23 @@ def mul_vec(which: int, a, b):
 
     lib = load()
     assert lib is not None
+    a = np.ascontiguousarray(a)
+    b = np.ascontiguousarray(b)
     n = a.shape[0]
     out = np.empty((n, 32), dtype=np.uint8)
     lib.pasta_mul_vec(which, _buf_ptr(a), _buf_ptr(b), _buf_ptr(out), n)
     return out
+
+
+def inv_vec(which: int, a):
+    """Batch field inversion of an (n, 32) canonical-bytes array."""
+    import numpy as np
+
+    lib = load()
+    n = a.shape[0]
+    out = ctypes.create_string_buffer(32 * n)
+    lib.pasta_inv_batch(which, np.ascontiguousarray(a).tobytes(), out, n)
+    return np.frombuffer(out.raw, dtype=np.uint8).reshape(n, 32).copy()
 
 
 def axpy(which: int, a, s: int, b):
@@ -200,6 +213,8 @@ def axpy(which: int, a, s: int, b):
     import numpy as np
 
     lib = load()
+    a = np.ascontiguousarray(a)
+    b = np.ascontiguousarray(b)
     n = a.shape[0]
     out = np.empty((n, 32), dtype=np.uint8)
     lib.pasta_axpy(which, _buf_ptr(a), int(s).to_bytes(32, "little"), _buf_ptr(b), _buf_ptr(out), n)
@@ -216,7 +231,11 @@ def horner(which: int, coeffs, x: int) -> int:
 
 def inner(which: int, a, b) -> int:
     """<a, b> over (n, 32) canonical-bytes arrays."""
+    import numpy as np
+
     lib = load()
+    a = np.ascontiguousarray(a)
+    b = np.ascontiguousarray(b)
     out = ctypes.create_string_buffer(32)
     lib.pasta_inner(which, _buf_ptr(a), _buf_ptr(b), a.shape[0], out)
     return int.from_bytes(out.raw, "little")

@@ -277,7 +277,14 @@ def quotient_constants(vk) -> dict:
     """Shared per-pk quotient constants as plain int lists over the extended
     coset: l0 / llast / lactive Lagrange selectors, the coset x coordinates,
     and 1/Z_H. Consumed by both the device VM (QuotientEvaluator) and the
-    native host VM (ops/native_quotient.py)."""
+    native host VM (ops/native_quotient.py). With the native runtime the
+    ~10 basis rows build in C++ (batch inversion + vector ops, ~30 ms
+    instead of seconds of object-array Python) and the returned lists carry
+    their bytes arrays (PolyInts) so the native VM binds them copy-free."""
+    from .. import native
+
+    if native.available():
+        return _quotient_constants_native(vk)
     from ..plonk.arguments import _lagrange_basis_extended
 
     cs = vk.cs
@@ -299,6 +306,60 @@ def quotient_constants(vk) -> dict:
         acc = acc * domain.extended_omega % P
     t_inv = FP.batch_inv(domain.t_extended())
     return {"l0": l0, "llast": llast, "lactive": lactive, "x": xs, "t_inv": t_inv}
+
+
+def _quotient_constants_native(vk) -> dict:
+    """Native twin of quotient_constants — same exact math, bit-identical
+    values (l_i(X) = w^i * t(X) / (n * (X - w^i)) on the extended coset)."""
+    from .. import native
+    from ..pcs.ipa import PolyInts
+
+    cs = vk.cs
+    domain = vk.domain
+    usable = cs.usable_rows(domain.n)
+    ext = domain.extended_n
+    n = domain.n
+    which = native.which_for(P)
+
+    # xs[i] = g_coset * extended_omega^i
+    xs_b = np.zeros((1, ext, 32), np.uint8)
+    xs_b[:, :, 0] = 1
+    native.scale_batch(which, xs_b, domain.extended_omega, domain.g_coset)
+    xs_b = xs_b[0]
+    t_b = native.ints_to_bytes_arr(domain.t_extended())
+    t_inv_b = native.inv_vec(which, t_b)
+    zeros = np.zeros((ext, 32), np.uint8)
+
+    def basis_row(i: int):
+        wi = pow(domain.omega, i, P)
+        neg = np.broadcast_to(
+            np.frombuffer(((-(n * wi)) % P).to_bytes(32, "little"), dtype=np.uint8),
+            (ext, 32),
+        )
+        denoms = native.axpy(which, xs_b, n, neg)  # n*x - n*wi
+        invs = native.inv_vec(which, denoms)
+        prod = native.mul_vec(which, t_b, invs)
+        return native.axpy(which, prod, wi, zeros)  # wi * t * inv
+
+    l0_b = basis_row(0)
+    llast_b = basis_row(usable)
+    acc = llast_b
+    for i in range(usable + 1, n):
+        acc = native.axpy(which, basis_row(i), 1, acc)
+    ones = np.zeros((ext, 32), np.uint8)
+    ones[:, 0] = 1
+    lactive_b = native.axpy(which, acc, P - 1, ones)  # 1 - (llast + blind)
+
+    def wrap(arr):
+        return PolyInts.wrap(native.bytes_arr_to_ints(arr), arr)
+
+    return {
+        "l0": wrap(l0_b),
+        "llast": wrap(llast_b),
+        "lactive": wrap(lactive_b),
+        "x": wrap(xs_b),
+        "t_inv": wrap(t_inv_b),
+    }
 
 
 def emit_vm(vk, schedule: ProofSchedule):

@@ -47,14 +47,18 @@ class NativeQuotientEvaluator:
         self.vm_size = (len(self.prog), self.n_regs)
 
         consts = quotient_constants(vk)
+
+        def as_bytes(vals):
+            pre = getattr(vals, "bytes_arr", None)  # PolyInts side channel
+            return pre if pre is not None else native.ints_to_bytes_arr(vals)
+
         self.named = {
-            name: native.ints_to_bytes_arr(consts[name])
-            for name in ("l0", "llast", "lactive", "x")
+            name: as_bytes(consts[name]) for name in ("l0", "llast", "lactive", "x")
         }
         self.named["one"] = np.broadcast_to(
             np.frombuffer((1).to_bytes(32, "little"), dtype=np.uint8), (ext, 32)
         )
-        self.t_inv = native.ints_to_bytes_arr(consts["t_inv"])
+        self.t_inv = as_bytes(consts["t_inv"])
 
     def __call__(self, coeff_polys_by_key: dict, challenges: tuple) -> list[int]:
         domain = self.domain

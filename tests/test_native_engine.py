@@ -117,3 +117,22 @@ class TestNativeProofParity:
         polys = {k: [rng.randrange(P) for _ in range(params.n)] for k in dev.keys}
         chals = tuple(rng.randrange(P) for _ in range(4))
         assert nat(polys, chals) == dev(polys, chals)
+
+
+class TestNativeConstants:
+    def test_quotient_constants_native_matches_python(self, monkeypatch):
+        """_quotient_constants_native vs the object-array branch, value for
+        value (l0/llast/lactive/x/t_inv over the extended coset)."""
+        from battlezips_halo2_tpu import native as nat_mod
+        from battlezips_halo2_tpu.ops import gate_eval as G
+        from battlezips_halo2_tpu.pcs.ipa import Params
+        from battlezips_halo2_tpu.plonk import keygen
+        from test_prover import MulCircuit
+
+        params = Params.new(5)
+        pk = keygen(params, MulCircuit(1, 1, 1))
+        got = G._quotient_constants_native(pk.vk)
+        monkeypatch.setattr(nat_mod, "available", lambda: False)
+        want = G.quotient_constants(pk.vk)
+        for key in ("l0", "llast", "lactive", "x", "t_inv"):
+            assert list(got[key]) == list(want[key]), key
