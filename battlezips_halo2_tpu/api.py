@@ -17,7 +17,7 @@ from functools import lru_cache
 from .circuits import BoardCircuit, ShotCircuit
 from .fields.host import FQ
 from .pcs.ipa import cached_params
-from .plonk import create_proof, keygen, verify_proof
+from .plonk import create_proof, create_proofs_batched, keygen, verify_proof
 from .utils import BinaryValue, Board, Deck, serialize
 
 
@@ -155,15 +155,24 @@ def prove_session(
     workers: int | None = None,
     dp_devices: list | int | None = None,
     seed: int | None = None,
+    batched: bool | None = None,
+    batch_engine: str | None = None,
 ) -> GameSession:
     """games: list of 5-ship placement lists. Produces one board proof per
     game plus `shots_per_game` shot proofs against each committed board.
 
     Parallel axes (SURVEY §2.3):
+    * ``batched`` routes the session through the BATCH-AMORTIZED prover
+      (plonk/batch_prover.py): all board proofs advance phase-synchronously
+      as one batch, then all shot proofs — one device dispatch per
+      Fiat-Shamir phase per batch instead of per proof. Proof bytes are
+      bit-identical to the sequential path for the same ``seed``
+      (tests/test_batch_prover.py). Default from BZ_SESSION_BATCHED.
+      ``batch_engine``: see create_proofs_batched (device/host/auto).
     * ``workers > 1`` pipelines the independent proofs across a thread pool
       (the proof-batch PP axis): device dispatches release the GIL, so one
       proof's host phases overlap another's device phases. Default 1
-      (BZ_SESSION_WORKERS env overrides).
+      (BZ_SESSION_WORKERS env overrides). Ignored when ``batched``.
     * ``dp_devices`` enables DATA-parallel proving: each worker's device
       work is pinned round-robin onto one of the given jax devices (an int
       selects the first N local devices; BZ_SESSION_DP env overrides). DP
@@ -172,12 +181,15 @@ def prove_session(
     * ``seed`` derives a per-job blinding rng (deterministic sessions);
       None keeps secrets-backed blinding.
     """
+    import os as _os
     import random as _random
 
     import jax as _jax
 
     from .config import config as _config
 
+    if batched is None:
+        batched = _os.environ.get("BZ_SESSION_BATCHED", "") == "1"
     if workers is None:
         workers = _config().session_workers
     if dp_devices is None and _config().session_dp:
@@ -205,6 +217,49 @@ def prove_session(
         _board_keys()
     if shot_jobs:
         _shot_keys()
+
+    if batched:
+        from .utils.pedersen import pedersen_commit
+
+        board_proofs = []
+        if board_jobs:
+            params, pk = _board_keys()
+            circuits, instances, rngs_b, commitments = [], [], [], []
+            for idx, (ships, t) in enumerate(board_jobs):
+                board = Board.from_deck(Deck.from_placements(ships))
+                state = board.state()
+                commitment = pedersen_commit(state.to_fp(), t)
+                circuits.append(BoardCircuit(board.witness(), state, t))
+                instances.append([[commitment[0], commitment[1]]])
+                rngs_b.append(job_rng(idx))
+                commitments.append(commitment)
+            proofs = create_proofs_batched(
+                params, pk, circuits, instances, rngs_b, engine=batch_engine
+            )
+            board_proofs = [
+                BoardProof(commitment=c, proof=p) for c, p in zip(commitments, proofs)
+            ]
+        shot_proofs = []
+        if shot_jobs:
+            params, pk = _shot_keys()
+            circuits, instances, rngs_s = [], [], []
+            for idx, (state, t, xy, hit) in enumerate(shot_jobs):
+                shot = serialize([xy[0]], [xy[1]])
+                circuit = ShotCircuit(state, t, shot, BinaryValue(1 if hit else 0))
+                circuits.append(circuit)
+                instances.append([circuit.public_instance()])
+                rngs_s.append(job_rng(1_000_000 + idx))
+            proofs = create_proofs_batched(
+                params, pk, circuits, instances, rngs_s, engine=batch_engine
+            )
+            for circuit, inst, p in zip(circuits, instances, proofs):
+                inst = inst[0]
+                shot_proofs.append(
+                    ShotProof(
+                        commitment=(inst[0], inst[1]), shot=inst[2], hit=inst[3], proof=p
+                    )
+                )
+        return GameSession(board_proofs, shot_proofs)
 
     def run_board(idx, job):
         ships, t = job

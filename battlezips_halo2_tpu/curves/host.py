@@ -147,6 +147,23 @@ class Curve:
 
     def from_bytes(self, data: bytes) -> Point:
         assert len(data) == 32
+        from .. import native
+
+        if native.available():
+            # native Tonelli-Shanks decode (~10 us vs ~0.5 ms of Python
+            # pow) — the verifier reads ~40 points per proof, so this is
+            # a visible slice of its latency budget. Bit-identical to the
+            # Python branch below (tests/test_native_engine.py).
+            which = native.FIELD_FP if self.name == "pallas" else native.FIELD_FQ
+            xy, status, bad = native.point_decompress(which, data)
+            if bad >= 0:
+                raise ValueError("invalid point encoding: x not on curve")
+            if status[0] == 1:
+                return None
+            return (
+                int.from_bytes(xy[0][:32].tobytes(), "little"),
+                int.from_bytes(xy[0][32:].tobytes(), "little"),
+            )
         buf = bytearray(data)
         ysign = (buf[31] >> 7) & 1
         buf[31] &= 0x7F

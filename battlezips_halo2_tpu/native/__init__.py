@@ -59,6 +59,17 @@ def load():
     if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
         if not _build():
             return None
+    _lib = _try_load()
+    if _lib is None:
+        # a stale/copied _pasta.so can pass the mtime check yet miss newer
+        # symbols (AttributeError on argtypes assignment) — rebuild once and
+        # retry before degrading to the Python path (ADVICE r4)
+        if _build():
+            _lib = _try_load()
+    return _lib
+
+
+def _try_load():
     try:
         lib = ctypes.CDLL(str(_LIB))
         lib.pasta_mul_batch.argtypes = [ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64]
@@ -77,10 +88,19 @@ def load():
         lib.pasta_horner.argtypes = [ctypes.c_int, ctypes.c_void_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_char_p]
         lib.pasta_inner.argtypes = [ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_char_p]
         lib.pasta_div_linear.argtypes = [ctypes.c_int, ctypes.c_void_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_char_p]
-        _lib = lib
-    except OSError:
-        _lib = None
-    return _lib
+        lib.pasta_point_decompress.argtypes = [
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib.pasta_point_decompress.restype = ctypes.c_int64
+        lib.pasta_ipa_s.argtypes = [
+            ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ]
+        lib.pasta_grand_product.argtypes = [
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64,
+        ]
+        return lib
+    except (OSError, AttributeError):
+        return None
 
 
 def available() -> bool:
@@ -248,6 +268,60 @@ def div_linear(which: int, poly, point: int) -> int:
     rem = ctypes.create_string_buffer(32)
     lib.pasta_div_linear(which, _buf_ptr(poly), poly.shape[0], int(point).to_bytes(32, "little"), rem)
     return int.from_bytes(rem.raw, "little")
+
+
+def point_decompress(which: int, data) -> tuple:
+    """Batch compressed-point decode. data: (n, 32) uint8 (or bytes of
+    length 32n). Returns (xy: (n, 64) uint8 canonical affine, status:
+    (n,) uint8 with 0=point 1=identity 2=malformed, first_bad: int|-1).
+    Mirrors curves/host.py Curve.from_bytes bit-for-bit (tests)."""
+    import numpy as np
+
+    lib = load()
+    assert lib is not None
+    if isinstance(data, (bytes, bytearray)):
+        data = np.frombuffer(bytes(data), dtype=np.uint8).reshape(-1, 32)
+    data = np.ascontiguousarray(data)
+    n = data.shape[0]
+    out = np.empty((n, 64), dtype=np.uint8)
+    status = np.empty(n, dtype=np.uint8)
+    bad = lib.pasta_point_decompress(
+        which, _buf_ptr(data), _buf_ptr(out), _buf_ptr(status), n
+    )
+    return out, status, int(bad)
+
+
+def ipa_s_vector(which: int, us: list[int], a0: int, n: int) -> "object":
+    """(n, 32) canonical-bytes s-vector of the IPA verifier:
+    s_i = a0 * prod_{j: bit (k-1-j) of i} u_j."""
+    import numpy as np
+
+    lib = load()
+    assert lib is not None
+    k = len(us)
+    assert n == 1 << k
+    ub = b"".join(int(u).to_bytes(32, "little") for u in us)
+    out = np.empty((n, 32), dtype=np.uint8)
+    lib.pasta_ipa_s(which, ub, int(a0).to_bytes(32, "little"), _buf_ptr(out), n, k)
+    return out
+
+
+def grand_product(which: int, nums, dens, carry: int):
+    """z[0]=carry, z[i+1]=z[i]*nums[i]/dens[i] with one batch inversion.
+    nums/dens: (usable, 32) canonical-bytes arrays -> (usable+1, 32)."""
+    import numpy as np
+
+    lib = load()
+    assert lib is not None
+    nums = np.ascontiguousarray(nums)
+    dens = np.ascontiguousarray(dens)
+    usable = nums.shape[0]
+    out = np.empty((usable + 1, 32), dtype=np.uint8)
+    lib.pasta_grand_product(
+        which, _buf_ptr(nums), _buf_ptr(dens),
+        int(carry).to_bytes(32, "little"), _buf_ptr(out), usable,
+    )
+    return out
 
 
 def msm_buf_scalars(which: int, pbuf: bytes, sarr) -> tuple | None:

@@ -280,10 +280,15 @@ def quotient_constants(vk) -> dict:
     native host VM (ops/native_quotient.py). With the native runtime the
     ~10 basis rows build in C++ (batch inversion + vector ops, ~30 ms
     instead of seconds of object-array Python) and the returned lists carry
-    their bytes arrays (PolyInts) so the native VM binds them copy-free."""
-    from .. import native
+    their bytes arrays (PolyInts) so the native VM binds them copy-free.
 
-    if native.available():
+    BZ_PROOF_ENGINE=device forces the object-array build below so the
+    device pipeline shares no native code with the host engine (the
+    cross-check knob — ADVICE r4)."""
+    from .. import native
+    from ..config import config as _cfg
+
+    if _cfg().proof_engine != "device" and native.available():
         return _quotient_constants_native(vk)
     from ..plonk.arguments import _lagrange_basis_extended
 
@@ -493,6 +498,7 @@ class QuotientEvaluator:
             coeffs = L.mont_mul(spec, coeffs, jnp.asarray(inv_scale))
             return L.from_mont(spec, coeffs)
 
+        self._run = run  # unjitted body — the batch prover vmaps/maps it
         self._fn = jax.jit(run)
 
     def __call__(self, coeff_polys_by_key: dict, challenges: tuple) -> list[int]:
@@ -513,3 +519,181 @@ class QuotientEvaluator:
             device_call(self._fn, jnp.asarray(batch), jnp.asarray(ch), what="quotient evaluation")
         )
         return limbs_to_ints(out)
+
+
+class BatchQuotientEvaluator:
+    """Quotients of B same-pk proofs in ONE device dispatch.
+
+    The batch-amortized prover's phase-k insight (VERDICT r4 next #1): the
+    ~1.5 s relay dispatch cost of an MB-scale executable is per-EXECUTION,
+    not per-proof, so evaluating all B quotients in a single program divides
+    it by B. Structure:
+
+    * pk-constant polys (fixed, sigma) upload ONCE and their extended-coset
+      forms are computed once, outside the per-proof loop;
+    * per-proof polys upload as length-n coefficient arrays and are
+      zero-padded to the extended size in-graph (8x less relay transfer
+      than the single-proof path's host-side padding);
+    * ``lax.map`` (sequential) over the proof axis bounds live memory at
+      one proof's register file, and the per-proof body is the IDENTICAL
+      instruction stream as QuotientEvaluator — h outputs are bit-identical
+      to the sequential path by construction (tests/test_batch_prover.py).
+    """
+
+    def __init__(self, vk, schedule: ProofSchedule):
+        cs = vk.cs
+        domain = vk.domain
+        self.domain = domain
+        self.keys = quotient_poly_keys(cs, schedule.num_perm_chunks)
+        self.shared_keys = [k for k in self.keys if k[0] in ("fixed", "sigma")]
+        self.per_keys = [k for k in self.keys if k[0] not in ("fixed", "sigma")]
+        shared_index = {k: i for i, k in enumerate(self.shared_keys)}
+        per_index = {k: i for i, k in enumerate(self.per_keys)}
+        ext = domain.extended_n
+        n = domain.n
+        rot_scale = ext // n
+        spec = FP_SPEC
+        r = spec.r_mod_p
+
+        consts = quotient_constants(vk)
+
+        def mont_const(vals):
+            return jnp.asarray(ints_to_limbs([v * r % P for v in vals]))
+
+        named_arrays = {
+            "l0": mont_const(consts["l0"]),
+            "llast": mont_const(consts["llast"]),
+            "lactive": mont_const(consts["lactive"]),
+            "x": mont_const(consts["x"]),
+            "one": jnp.broadcast_to(jnp.asarray(spec.one_mont), (ext, L.NLIMBS)),
+        }
+        c_tinv = mont_const(consts["t_inv"])
+
+        prog_np, pin_keys, n_regs = emit_vm(vk, schedule)
+        self.vm_size = (len(prog_np), n_regs)
+
+        scale = jnp.asarray(D.make_scale_vector(FP, domain.g_coset, ext, spec))
+        plan = D.plan_for(P, ext, domain.extended_omega)
+        plan_inv = D.plan_for(P, ext, pow(domain.extended_omega, -1, P))
+        n_inv = L.int_to_limbs(pow(ext, -1, P) * r % P)
+        inv_scale = jnp.asarray(D.make_scale_vector(FP, domain.g_coset_inv, ext, spec))
+
+        def extend_one(p):
+            # (n, 16) plain canonical -> (ext, 16) Montgomery on the coset.
+            # Zero-padding before to_mont is bit-identical to the
+            # single-proof path's host-side padding (0 * R = 0).
+            pm = L.to_mont(spec, p)
+            pm = jnp.pad(pm, ((0, ext - pm.shape[0]), (0, 0)))
+            pm = L.mont_mul(spec, pm, scale)
+            return D.ntt(plan, pm)
+
+        def run_batch(shared, per_batch, challenges_batch):
+            # shared: (S, n, 16); per_batch: (B, Pk, n, 16);
+            # challenges_batch: (B, 4, 16) — all plain canonical limbs
+            ext_shared = jax.lax.map(extend_one, shared)
+
+            def one_proof(args):
+                per, challenges = args
+                ext_per = jax.lax.map(extend_one, per)
+                ch = L.to_mont(spec, challenges)
+                chal_arrays = {"theta": ch[0], "beta": ch[1], "gamma": ch[2], "y": ch[3]}
+
+                def arr(key):
+                    if key in shared_index:
+                        return ext_shared[shared_index[key]]
+                    return ext_per[per_index[key]]
+
+                pin_vals = []
+                for key in pin_keys:
+                    if key[0] == "inp":
+                        _, kind, index, rot = key
+                        pin_vals.append(
+                            jnp.roll(arr((kind, index)), -rot * rot_scale, axis=0)
+                        )
+                    elif key[0] == "const":
+                        pin_vals.append(
+                            jnp.broadcast_to(
+                                jnp.asarray(ints_to_limbs([key[1] * r % P])[0]),
+                                (ext, L.NLIMBS),
+                            )
+                        )
+                    elif key[0] == "chal":
+                        pin_vals.append(jnp.broadcast_to(chal_arrays[key[1]], (ext, L.NLIMBS)))
+                    else:
+                        pin_vals.append(named_arrays[key[1]])
+                n_temps = n_regs - 1 - len(pin_vals)
+                regs0 = jnp.concatenate(
+                    [
+                        jnp.zeros((1, ext, L.NLIMBS), jnp.uint32),
+                        jnp.stack(pin_vals).astype(jnp.uint32),
+                        jnp.zeros((n_temps, ext, L.NLIMBS), jnp.uint32),
+                    ]
+                )
+                prog = jnp.asarray(prog_np)
+
+                def step(regs, ins):
+                    a = jax.lax.dynamic_index_in_dim(regs, ins[1], 0, keepdims=False)
+                    b = jax.lax.dynamic_index_in_dim(regs, ins[2], 0, keepdims=False)
+                    res = jax.lax.switch(
+                        ins[0],
+                        (
+                            lambda: L.mont_mul(spec, a, b),
+                            lambda: L.add(spec, a, b),
+                            lambda: L.sub(spec, a, b),
+                        ),
+                    )
+                    regs = jax.lax.dynamic_update_index_in_dim(regs, res, ins[3], 0)
+                    return regs, None
+
+                regs, _ = jax.lax.scan(step, regs0, prog)
+                h_ext = L.mont_mul(spec, regs[0], c_tinv)
+                coeffs = D.intt(plan_inv, h_ext, n_inv)
+                coeffs = L.mont_mul(spec, coeffs, inv_scale)
+                return L.from_mont(spec, coeffs)
+
+            return jax.lax.map(one_proof, (per_batch, challenges_batch))
+
+        self._fn = jax.jit(run_batch)
+        self._shared_cache = None
+
+    def __call__(
+        self, coeff_polys_by_key_list: list[dict], challenges_list: list[tuple]
+    ) -> list[list[int]]:
+        """One dispatch for the whole batch; returns per-proof h coeffs."""
+        from ..fields.limb import limbs_to_ints
+        from .dispatch import device_call
+
+        n = self.domain.n
+        ext = self.domain.extended_n
+        b = len(coeff_polys_by_key_list)
+        assert b == len(challenges_list) and b > 0
+
+        if self._shared_cache is None:
+            flat = []
+            for key in self.shared_keys:
+                poly = coeff_polys_by_key_list[0][key]
+                flat.extend(list(poly) + [0] * (n - len(poly)))
+            self._shared_cache = jnp.asarray(
+                ints_to_limbs(flat).reshape(len(self.shared_keys), n, L.NLIMBS)
+            )
+
+        per = np.empty((b, len(self.per_keys), n, L.NLIMBS), np.uint32)
+        for bi, polys_by_key in enumerate(coeff_polys_by_key_list):
+            flat = []
+            for key in self.per_keys:
+                poly = polys_by_key[key]
+                flat.extend(list(poly) + [0] * (n - len(poly)))
+            per[bi] = ints_to_limbs(flat).reshape(len(self.per_keys), n, L.NLIMBS)
+        ch = np.stack(
+            [ints_to_limbs([c % P for c in chs]) for chs in challenges_list]
+        )
+        out = np.asarray(
+            device_call(
+                self._fn,
+                self._shared_cache,
+                jnp.asarray(per),
+                jnp.asarray(ch),
+                what=f"batched quotient x{b}",
+            )
+        )
+        return [limbs_to_ints(out[bi]) for bi in range(b)]

@@ -834,9 +834,13 @@ def msm_many(
     c: int | None = None,
     force_device: bool = False,
     prefer_host: bool = False,
+    chunk: int | None = None,
 ):
     """Batched MSM: many scalar vectors over one shared point set, one
-    device dispatch. Returns a list of affine results."""
+    device dispatch. Returns a list of affine results. ``chunk`` overrides
+    the per-dispatch MSM count (default 4, the worker-watchdog bound for
+    2^18-scale bodies — the batch prover raises it for k<=12 commits where
+    each MSM body is sub-millisecond)."""
     if not scalars_list:
         return []
     if prefer_host or (not force_device and not device_backend_is_tpu()):
@@ -855,7 +859,8 @@ def msm_many(
     qinf = jnp.asarray(np.array([p is None for p in pts], dtype=bool))
     # chunk the batch: one giant sequential executable (tens of MSM bodies)
     # can exceed the TPU worker's execution watchdog and crash it
-    chunk = 4
+    if chunk is None:
+        chunk = 4
     results = []
     for start in range(0, b0, chunk):
         group = scalars_list[start : start + chunk]

@@ -85,11 +85,13 @@ from ..config import config as _config
 
 # measured crossover on TPU v5e (tools/exp_ntt_variants.py 2026-08-20,
 # BENCH_NOTES.md round 4): the matmul 4-step beats the butterfly path from
-# 2^16 (39.7 vs 46.9 ms) with a widening gap at 2^18 (171.5 vs 247.4 ms),
-# so auto routes it for n >= 2^14. Upper bound: fp_const_matmul's i32
-# diagonal accumulator requires the contraction dim <= 1024, i.e. n <=
-# 2^21 in the 4-step split (ops/ntt_mm.py assert); "BZ_NTT_MM=on" forces
-_NTT_MM_MIN_N = 1 << 14
+# 2^16 (39.7 vs 46.9 ms) with a widening gap at 2^18 (171.5 vs 247.4 ms).
+# auto routes it for n >= 2^16 — the measured crossover (ADVICE r4: the
+# 2^14/2^15 points were never benched; re-lower only with data). Upper
+# bound: fp_const_matmul's i32 diagonal accumulator requires the
+# contraction dim <= 1024, i.e. n <= 2^21 in the 4-step split
+# (ops/ntt_mm.py assert); "BZ_NTT_MM=on" forces
+_NTT_MM_MIN_N = 1 << 16
 _NTT_MM_MAX_N = 1 << 21
 # transposed fused butterfly (pallas_kernels.butterfly_stage_T): in the
 # (16, lanes) layout a stage needs NO gathers (groups are contiguous lane

@@ -39,7 +39,12 @@ class PolyInts(list):
     """Coefficient list that also carries its (n, 32) canonical-bytes array
     so downstream native consumers (quotient batch build, Horner evals)
     skip the per-coefficient int->bytes marshalling. Semantically a plain
-    list; the ``bytes_arr`` attribute is an optimization side channel."""
+    list; the ``bytes_arr`` attribute is an optimization side channel.
+
+    Invariant (ADVICE r4): any in-place mutation DROPS ``bytes_arr`` so a
+    consumer can never compute from stale bytes — getattr returns None and
+    the caller re-marshals from the ints. Slicing degrades to a plain list
+    (attribute simply absent), which is equally safe."""
 
     __slots__ = ("bytes_arr",)
 
@@ -48,6 +53,60 @@ class PolyInts(list):
         p = PolyInts(ints)
         p.bytes_arr = bytes_arr
         return p
+
+    def _drop(self):
+        try:
+            del self.bytes_arr
+        except AttributeError:
+            pass
+
+    def __setitem__(self, *a):
+        self._drop()
+        return list.__setitem__(self, *a)
+
+    def __delitem__(self, *a):
+        self._drop()
+        return list.__delitem__(self, *a)
+
+    def __iadd__(self, other):
+        self._drop()
+        return list.__iadd__(self, other)
+
+    def __imul__(self, other):
+        self._drop()
+        return list.__imul__(self, other)
+
+    def append(self, *a):
+        self._drop()
+        return list.append(self, *a)
+
+    def extend(self, *a):
+        self._drop()
+        return list.extend(self, *a)
+
+    def insert(self, *a):
+        self._drop()
+        return list.insert(self, *a)
+
+    def pop(self, *a):
+        self._drop()
+        return list.pop(self, *a)
+
+    def remove(self, *a):
+        self._drop()
+        return list.remove(self, *a)
+
+    def sort(self, **kw):
+        self._drop()
+        return list.sort(self, **kw)
+
+    def reverse(self):
+        self._drop()
+        return list.reverse(self)
+
+    def clear(self):
+        self._drop()
+        return list.clear(self)
 
 
 def _derive_point(curve: Curve, label: bytes, index: int) -> Point:
@@ -192,7 +251,14 @@ def commit(params: Params, coeffs: list[int], blind: int) -> Point:
     return msm(VESTA, points, scalars)
 
 
-def commit_lagrange_many(params: Params, domain, values_list: list, blinds: list):
+def commit_lagrange_many(
+    params: Params,
+    domain,
+    values_list: list,
+    blinds: list,
+    engine: str | None = None,
+    chunk: int | None = None,
+):
     """Fused Lagrange->coeff->commit: iNTT, digit extraction and the
     Pippenger window sums run in ONE device dispatch per chunk (the former
     two-dispatch path paid a coeff download + digit upload round-trip per
@@ -205,7 +271,12 @@ def commit_lagrange_many(params: Params, domain, values_list: list, blinds: list
     mesh (the sharded MSM owns that path) and off-TPU (the fused device
     graph hits the pathological XLA-CPU compile). BZ_FORCE_FUSED_COMMIT=1
     forces the fused branch on any backend — the default-tier bit-identity
-    test runs it on CPU at tiny k (tests/test_fused_commit.py)."""
+    test runs it on CPU at tiny k (tests/test_fused_commit.py).
+
+    ``engine`` overrides the use_host_engine routing per call ("host" =
+    native C++, "device" = fused device graph); ``chunk`` overrides the
+    fused path's columns-per-dispatch (the batch prover commits hundreds
+    of k<=12 columns in one dispatch to amortize relay latency)."""
     from ..config import config as _config
     from ..parallel.context import mesh_is_active
     from ..ops.msm import (
@@ -225,7 +296,11 @@ def commit_lagrange_many(params: Params, domain, values_list: list, blinds: list
         return [], []
     from ..ops.engine import use_host_engine
 
-    engine_host = use_host_engine(domain.n) and not _config().force_fused_commit
+    if engine is None:
+        engine_host = use_host_engine(domain.n) and not _config().force_fused_commit
+    else:
+        assert engine in ("host", "device")
+        engine_host = engine == "host"
     if engine_host and not mesh_is_active():
         # latency tier, fully in canonical-bytes form: native iNTT feeds the
         # native Pippenger directly — no per-coefficient Python between the
@@ -257,7 +332,11 @@ def commit_lagrange_many(params: Params, domain, values_list: list, blinds: list
             PolyInts.wrap(native.bytes_arr_to_ints(data[i]), data[i]) for i in range(b)
         ]
         return polys, points
-    if mesh_is_active() or (not device_backend_is_tpu() and not _config().force_fused_commit):
+    if mesh_is_active() or (
+        engine != "device"
+        and not device_backend_is_tpu()
+        and not _config().force_fused_commit
+    ):
         from ..poly.transforms import batch_lagrange_to_coeff
 
         # both stages route by tier: the iNTT through _maybe_native /
@@ -284,7 +363,8 @@ def commit_lagrange_many(params: Params, domain, values_list: list, blinds: list
 
     polys: list = []
     points: list = []
-    chunk = 8 if n <= (1 << 12) else 4  # worker-watchdog bound (BENCH_NOTES)
+    if chunk is None:
+        chunk = 8 if n <= (1 << 12) else 4  # worker-watchdog bound (BENCH_NOTES)
     for start in range(0, len(values_list), chunk):
         group = values_list[start : start + chunk]
         b_target = max(1, 1 << (len(group) - 1).bit_length())
@@ -326,9 +406,58 @@ def commit_lagrange_many(params: Params, domain, values_list: list, blinds: list
     return polys, points
 
 
-def commit_many(params: Params, polys: list, blinds: list) -> list[Point]:
+def lagrange_basis_commitment(params: Params, domain, row: int) -> Point:
+    """G_lag_row = commit(L_row) — the SRS re-expressed in the Lagrange
+    basis, one row at a time. L_row(X) = (1/n)·Σ_i ω^{-row·i} X^i, so the
+    point is a single dense MSM, computed once and cached per (params,
+    row). Lets the VERIFIER commit a sparse instance column as a couple of
+    point scalar-muls instead of an iNTT + dense n-point MSM (the board
+    instance has 2 values; that MSM was ~30 ms of its ~70 ms budget)."""
+    cache = getattr(params, "_lagrange_basis_commits", None)
+    if cache is None:
+        cache = params._lagrange_basis_commits = {}
+    if row not in cache:
+        m = FP.modulus
+        w_inv = pow(domain.omega, -(row % domain.n), m)
+        n_inv = pow(domain.n, -1, m)
+        scalars = []
+        acc = n_inv
+        for _ in range(domain.n):
+            scalars.append(acc)
+            acc = acc * w_inv % m
+        from ..ops.msm import host_msm
+
+        cache[row] = host_msm(VESTA, params.g, scalars)
+    return cache[row]
+
+
+def commit_lagrange_sparse(params: Params, domain, values: list) -> Point:
+    """Commitment of a Lagrange-basis column with blind 0, as
+    Σ_{i: v_i≠0} [v_i]·G_lag_i. Bit-identical to
+    commit(lagrange_to_coeff(values), 0) — it is the SAME group element —
+    but O(nnz) scalar-muls. Callers gate on a small nonzero count."""
+    m = FP.modulus
+    points, scalars = [], []
+    for i, v in enumerate(values):
+        v = v % m
+        if v:
+            points.append(lagrange_basis_commitment(params, domain, i))
+            scalars.append(v)
+    if not points:
+        return None
+    return msm(VESTA, points, scalars, prefer_host=True)
+
+
+def commit_many(
+    params: Params,
+    polys: list,
+    blinds: list,
+    engine: str | None = None,
+    chunk: int | None = None,
+) -> list[Point]:
     """Commit a batch of polynomials in ONE vmapped device MSM over the
-    shared [G | W] point set; TP-sharded under an active mesh."""
+    shared [G | W] point set; TP-sharded under an active mesh. ``engine``
+    / ``chunk`` as in commit_lagrange_many."""
     from ..ops.msm import msm_many
 
     assert len(polys) == len(blinds)
@@ -344,11 +473,16 @@ def commit_many(params: Params, polys: list, blinds: list) -> list[Point]:
         return sharded_msm_many(VESTA, points, scalars_list, get_mesh())
     from ..ops.engine import use_host_engine
 
-    if use_host_engine(params.n):
+    if engine is None:
+        engine_host = use_host_engine(params.n)
+    else:
+        assert engine in ("host", "device")
+        engine_host = engine == "host"
+    if engine_host:
         return _host_commit_many(params, polys, blinds)
     points = params.g + [params.w]
     scalars_list = [list(p) + [0] * (params.n - len(p)) + [b] for p, b in zip(polys, blinds)]
-    return msm_many(VESTA, points, scalars_list)
+    return msm_many(VESTA, points, scalars_list, force_device=(engine == "device"), chunk=chunk)
 
 
 def _inner(a: list[int], b: list[int]) -> int:
@@ -622,20 +756,40 @@ def verify_open_proof(
         b_final = b_final * ((1 + u * pow(x, half, m)) % m) % m
         half //= 2
 
-    # s vector: s_i = prod_{j: bit (k-1-j) of i set} u_j — one vectorized
-    # object-array select+multiply per round instead of n*k Python ops
-    s = np.ones(n, dtype=object)
-    idx = np.arange(n)
-    half = n // 2
-    for u in us:
-        choice = np.where(
-            (idx & half).astype(bool), np.full(n, u, dtype=object), np.ones(n, dtype=object)
-        )
-        s = s * choice % m
-        half //= 2
+    # s vector: s_i = prod_{j: bit (k-1-j) of i set} u_j, scaled by a0.
+    # Native build (k doubling passes, n-1 field muls in C++) feeds the
+    # final MSM as a bytes array with zero per-scalar marshalling; the
+    # object-array branch remains the cross-check fallback.
+    from .. import native as _native
 
-    lhs_scalars = [int(v) for v in a0 * s % m] + [a0 * b_final % m * z % m, f_final]
-    lhs = msm(VESTA, params.g + [params.u, params.w], lhs_scalars, prefer_host=True)
+    if _native.available():
+        which_s = _native.which_for(FP.modulus)
+        s_arr = _native.ipa_s_vector(which_s, us, a0, n)
+        sc = np.empty((n + 2, 32), np.uint8)
+        sc[:n] = s_arr
+        sc[n] = np.frombuffer(
+            (a0 * b_final % m * z % m).to_bytes(32, "little"), dtype=np.uint8
+        )
+        sc[n + 1] = np.frombuffer((f_final % m).to_bytes(32, "little"), dtype=np.uint8)
+        guw = getattr(params, "_native_guw_buf", None)
+        if guw is None:
+            guw = _native.points_buffer(params.g + [params.u, params.w])
+            params._native_guw_buf = guw
+        which_pt = _native.which_for(VESTA.base.modulus)
+        lhs = _native.msm_buf_scalars(which_pt, guw, sc)
+    else:
+        s = np.ones(n, dtype=object)
+        idx = np.arange(n)
+        half = n // 2
+        for u in us:
+            choice = np.where(
+                (idx & half).astype(bool), np.full(n, u, dtype=object), np.ones(n, dtype=object)
+            )
+            s = s * choice % m
+            half //= 2
+
+        lhs_scalars = [int(v) for v in a0 * s % m] + [a0 * b_final % m * z % m, f_final]
+        lhs = msm(VESTA, params.g + [params.u, params.w], lhs_scalars, prefer_host=True)
 
     rhs_pts = [commitment, params.g[0], s_commitment]
     rhs_scalars = [1, (-value) % m, xi]

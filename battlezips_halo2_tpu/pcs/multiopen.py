@@ -190,8 +190,12 @@ def multiopen_prove(params: Params, transcript: TranscriptWrite, queries: list[Q
     (q_poly = fold acc·x1 + poly; f = fold acc·x2 + quotient; final
     p = f then fold acc·x4 + q_i)."""
     from .. import native
+    from ..config import config as _config
 
-    if native.available():
+    # BZ_PROOF_ENGINE=device must force the fully independent object-array
+    # pipeline (the device/host cross-check knob — ADVICE r4); auto/host
+    # route to the native fold whenever the runtime is present.
+    if _config().proof_engine != "device" and native.available():
         return _multiopen_prove_native(params, transcript, queries, rng)
     x1 = transcript.squeeze_challenge()
     x2 = transcript.squeeze_challenge()

@@ -50,9 +50,18 @@ def verify_proof(params, vk, proof, instances):
     return _impl(params, vk, proof, instances)
 
 
+def create_proofs_batched(params, pk, circuits, instances_list, rngs, engine=None):
+    """Batch-amortized prover: B same-circuit proofs, one device dispatch
+    per Fiat-Shamir phase — lazy import (plonk.batch_prover)."""
+    from .batch_prover import create_proofs_batched as _impl
+
+    return _impl(params, pk, circuits, instances_list, rngs, engine=engine)
+
+
 __all__ = [
     "keygen",
     "create_proof",
+    "create_proofs_batched",
     "verify_proof",
     "AssignedCell",
     "Assignment",

@@ -64,6 +64,18 @@ class ProofSchedule:
 
     @staticmethod
     def build(cs: ConstraintSystem) -> "ProofSchedule":
+        # pure function of the constraint system — cached on it (the walk
+        # over every gate expression costs ~14 ms per call at board scale,
+        # and prover AND verifier build it per proof)
+        cached = getattr(cs, "_schedule_cache", None)
+        if cached is not None:
+            return cached
+        schedule = ProofSchedule._build_uncached(cs)
+        cs._schedule_cache = schedule
+        return schedule
+
+    @staticmethod
+    def _build_uncached(cs: ConstraintSystem) -> "ProofSchedule":
         advice: set = set()
         fixed: set = set()
 

@@ -59,8 +59,20 @@ def _verify_proof(params: Params, vk: VerifyingKey, proof: bytes, instances: lis
         if len(vals) > usable:
             return False
         instance_values.append([v % P for v in vals] + [0] * (n - len(vals)))
-    instance_polys = batch_lagrange_to_coeff(domain, instance_values) if instance_values else []
-    instance_commitments = [commit(params, poly, 0) for poly in instance_polys]
+    # sparse fast path: instance columns carry a handful of public values
+    # (board: 2, shot: 4) — commit each as nnz Lagrange-basis scalar-muls
+    # (same group element as the iNTT+dense-MSM path, pcs/ipa.py
+    # commit_lagrange_sparse) instead of two dense n-point MSMs per verify
+    instance_commitments = []
+    for vals in instance_values:
+        nnz = sum(1 for v in vals if v % P)
+        if nnz <= 16:
+            from ..pcs.ipa import commit_lagrange_sparse
+
+            instance_commitments.append(commit_lagrange_sparse(params, domain, vals))
+        else:
+            poly = batch_lagrange_to_coeff(domain, [vals])[0]
+            instance_commitments.append(commit(params, poly, 0))
     for c in instance_commitments:
         transcript.common_point(c)
 

@@ -7,10 +7,13 @@ base-field message m is lifted to the scalar field by byte-repr
 reinterpretation (valid since p < q... both orders, canonical reprs always
 decode; pedersen.rs:24 follows the Orchard spec's lift).
 
-The generators are DERIVED via the from-scratch SSWU hash-to-curve
-(curves/hashtocurve.py) and cross-checked at import time against the
-reference's published GENERATOR bytes (board_commit_{v,r}.rs) — byte
-equality of the two sources is itself a standing parity test.
+Generator provenance: the production constants load from the pinned
+reference-extracted table (utils/constants/reference_tables.json — the
+parity oracle). The INDEPENDENT from-scratch SSWU derivation lives in
+``derived_generators()`` below (curves/hashtocurve.py), which asserts byte
+equality against the pinned constants; tests/test_hashtocurve.py runs that
+cross-check on every suite run (it costs ~1 s, so it is not repeated at
+import time).
 """
 
 from __future__ import annotations

@@ -342,7 +342,170 @@ static void pt_to_affine(const FieldCtx* c, Fe& ax, Fe& ay, const Pt& p) {
 }
 
 // ---------------------------------------------------------------- C ABI
+// Tonelli-Shanks square root (both Pasta fields: 2-adicity 32, generator 5).
+// a_mont in Montgomery form; returns false for a non-residue. The root is
+// not sign-normalized (matches fields/host.py sqrt — callers pick parity).
+static bool fe_sqrt(const FieldCtx* c, Fe& out, const Fe& a_mont) {
+    if (fe_is_zero(a_mont)) {
+        out = a_mont;
+        return true;
+    }
+    if (fe_legendre(c, a_mont) != 1) return false;
+    // t = (m - 1) >> 32  (s = 32); low 32 bits of m-1 are zero for Pasta
+    Fe t = c->modulus;
+    t.l[0] -= 1;
+    for (int i = 0; i < 3; ++i) t.l[i] = (t.l[i] >> 32) | (t.l[i + 1] << 32);
+    t.l[3] >>= 32;
+    // z = g^t with g = 5 (pasta_curves Fp/Fq GENERATOR)
+    Fe g = {{5, 0, 0, 0}};
+    fe_to_mont(c, g, g);
+    Fe z;
+    fe_pow(c, z, g, t);
+    // x = a^((t+1)/2); t is odd so (t+1)/2 = (t>>1)+1
+    Fe e = t;
+    for (int i = 0; i < 3; ++i) e.l[i] = (e.l[i] >> 1) | (e.l[i + 1] << 63);
+    e.l[3] >>= 1;
+    u128 carry = 1;
+    for (int i = 0; i < 4 && carry; ++i) {
+        u128 s = (u128)e.l[i] + carry;
+        e.l[i] = (u64)s;
+        carry = s >> 64;
+    }
+    Fe x, b;
+    fe_pow(c, x, a_mont, e);
+    fe_pow(c, b, a_mont, t);
+    int s = 32;
+    while (std::memcmp(&b, &c->one, 32) != 0) {
+        int k = 0;
+        Fe b2 = b;
+        while (std::memcmp(&b2, &c->one, 32) != 0) {
+            fe_sqr(c, b2, b2);
+            ++k;
+        }
+        Fe w = z;
+        for (int i = 0; i < s - k - 1; ++i) fe_sqr(c, w, w);
+        fe_sqr(c, z, w);
+        fe_mul(c, b, b, z);
+        fe_mul(c, x, x, w);
+        s = k;
+    }
+    out = x;
+    return true;
+}
+
 extern "C" {
+
+// Batch compressed-point decode (pasta_curves GroupEncoding / transcript
+// read_point): in = n*32-byte compressed reprs (x with (y&1)<<7 in byte
+// 31), out = n*64-byte affine (x||y) canonical, status[i] = 0 ok,
+// 1 identity, 2 malformed (non-canonical x or x not on curve). Returns
+// the index of the first malformed encoding, or -1.
+int64_t pasta_point_decompress(int which, const uint8_t* in, uint8_t* out,
+                               uint8_t* status, int64_t n) {
+    const FieldCtx* c = ctx_for(which);
+    int64_t bad = -1;
+    for (int64_t i = 0; i < n; ++i) {
+        uint8_t buf[32];
+        std::memcpy(buf, in + 32 * i, 32);
+        int ysign = buf[31] >> 7;
+        buf[31] &= 0x7f;
+        Fe x;
+        std::memcpy(&x, buf, 32);
+        std::memset(out + 64 * i, 0, 64);
+        if (fe_gte(x, c->modulus)) {  // non-canonical repr
+            status[i] = 2;
+            if (bad < 0) bad = i;
+            continue;
+        }
+        if (fe_is_zero(x) && ysign == 0) {
+            status[i] = 1;  // identity encoding
+            continue;
+        }
+        Fe xm, y2, ym;
+        fe_to_mont(c, xm, x);
+        fe_sqr(c, y2, xm);
+        fe_mul(c, y2, y2, xm);
+        Fe b5 = {{5, 0, 0, 0}};
+        fe_to_mont(c, b5, b5);
+        fe_add(c, y2, y2, b5);
+        if (!fe_sqrt(c, ym, y2)) {
+            status[i] = 2;
+            if (bad < 0) bad = i;
+            continue;
+        }
+        Fe y;
+        fe_from_mont(c, y, ym);
+        if ((int)(y.l[0] & 1) != ysign) fe_sub_raw(y, c->modulus, y);
+        status[i] = 0;
+        std::memcpy(out + 64 * i, &x, 32);
+        std::memcpy(out + 64 * i + 32, &y, 32);
+    }
+    return bad;
+}
+
+// IPA verifier s-vector: s_i = a0 * prod_{j : bit (k-1-j) of i} u_j,
+// built by k doubling passes (n-1 muls total). us: k*32 bytes plain,
+// a0: 32 bytes plain, out: n*32 bytes plain canonical. n = 2^k.
+void pasta_ipa_s(int which, const uint8_t* us, const uint8_t* a0_bytes,
+                 uint8_t* out, int64_t n, int64_t k) {
+    const FieldCtx* c = ctx_for(which);
+    std::vector<Fe> s((size_t)n);
+    Fe a0;
+    std::memcpy(&a0, a0_bytes, 32);
+    fe_to_mont(c, s[0], a0);
+    int64_t len = 1;
+    for (int64_t j = k - 1; j >= 0; --j) {
+        Fe u;
+        std::memcpy(&u, us + 32 * j, 32);
+        fe_to_mont(c, u, u);
+        for (int64_t i = 0; i < len; ++i) fe_mul(c, s[len + i], s[i], u);
+        len <<= 1;
+    }
+    for (int64_t i = 0; i < n; ++i) {
+        Fe r;
+        fe_from_mont(c, r, s[i]);
+        std::memcpy(out + 32 * i, &r, 32);
+    }
+}
+
+// Grand-product prefix (permutation / lookup z build): given nums and dens
+// (usable*32 plain) and the chaining carry, computes
+//   z[0] = carry;  z[i+1] = z[i] * nums[i] / dens[i]
+// with ONE field inversion (Montgomery batch inversion of the dens).
+// out: (usable+1)*32 plain canonical.
+void pasta_grand_product(int which, const uint8_t* nums, const uint8_t* dens,
+                         const uint8_t* carry_bytes, uint8_t* out, int64_t usable) {
+    const FieldCtx* c = ctx_for(which);
+    std::vector<Fe> dv((size_t)usable), prefix((size_t)usable);
+    Fe acc = c->one;
+    for (int64_t i = 0; i < usable; ++i) {
+        std::memcpy(&dv[i], dens + 32 * i, 32);
+        fe_to_mont(c, dv[i], dv[i]);
+        prefix[i] = acc;
+        fe_mul(c, acc, acc, dv[i]);
+    }
+    Fe inv;
+    fe_inv(c, inv, acc);
+    std::vector<Fe> dinv((size_t)usable);
+    for (int64_t i = usable - 1; i >= 0; --i) {
+        fe_mul(c, dinv[i], prefix[i], inv);
+        fe_mul(c, inv, inv, dv[i]);
+    }
+    Fe z;
+    std::memcpy(&z, carry_bytes, 32);
+    std::memcpy(out, carry_bytes, 32);
+    fe_to_mont(c, z, z);
+    for (int64_t i = 0; i < usable; ++i) {
+        Fe num;
+        std::memcpy(&num, nums + 32 * i, 32);
+        fe_to_mont(c, num, num);
+        fe_mul(c, z, z, num);
+        fe_mul(c, z, z, dinv[i]);  // dinv still in Montgomery domain
+        Fe r;
+        fe_from_mont(c, r, z);
+        std::memcpy(out + 32 * (i + 1), &r, 32);
+    }
+}
 
 // batched field ops; a, b, out: n * 32-byte LE canonical reprs
 void pasta_mul_batch(int which, const uint8_t* a, const uint8_t* b, uint8_t* out, int64_t n) {
@@ -385,16 +548,26 @@ void pasta_inv_batch(int which, const uint8_t* a, uint8_t* out, int64_t n) {
 // n*32 bytes plain LE; out: 64 bytes affine.
 void pasta_msm(int which, const uint8_t* points, const uint8_t* scalars, uint8_t* out, int64_t n) {
     const FieldCtx* c = ctx_for(which);
-    // adaptive window: c ~ log2(n) - 3, clamped (bucket fold is 2*2^c adds
-    // per window; point adds are n per window); mixed affine adds in the
-    // buckets; windows are independent, so they parallelize over OpenMP
-    // threads with one Horner fold (doublings) at the end.
+    // Signed-digit Pippenger with BATCH-AFFINE bucket accumulation (the
+    // best_multiexp-class design, VERDICT r4 "verifier to ~10 ms"):
+    //  * signed c-bit digits halve the bucket count (the sign rides as a
+    //    y negation at insertion);
+    //  * buckets are AFFINE; each scheduling pass performs at most one
+    //    add per bucket, with every slope denominator inverted in ONE
+    //    Montgomery batch inversion — an amortized affine add is ~6 muls
+    //    vs ~11 for a mixed Jacobian add;
+    //  * windows parallelize over OpenMP; the final Horner fold of window
+    //    sums runs c_bits doublings per window on one thread.
     int c_bits = 4;
     while ((int64_t)1 << (c_bits + 3) < n && c_bits < 14) ++c_bits;
-    const int n_windows = (256 + c_bits - 1) / c_bits;
+    // +1 window absorbs a carry out of the top digit (only reachable for
+    // non-canonical >= 2^255 scalars; an all-zero extra window is free)
+    const int n_windows = (256 + c_bits - 1) / c_bits + 1;
+    const int32_t half = 1 << (c_bits - 1);
 
-    std::vector<Fe> px((size_t)n), py((size_t)n);
+    std::vector<Fe> px((size_t)n), py((size_t)n), pny((size_t)n);
     std::vector<uint8_t> inf((size_t)n);
+    Fe zero_fe = {{0, 0, 0, 0}};
     for (int64_t i = 0; i < n; ++i) {
         Fe x, y;
         std::memcpy(&x, points + 64 * i, 32);
@@ -403,31 +576,164 @@ void pasta_msm(int which, const uint8_t* points, const uint8_t* scalars, uint8_t
         if (!inf[i]) {
             fe_to_mont(c, px[i], x);
             fe_to_mont(c, py[i], y);
+            fe_sub(c, pny[i], zero_fe, py[i]);
         }
     }
 
-    std::vector<Pt> wsums(n_windows);
+    // signed digit matrix: digits[w*n + i] in [-half, half]
+    std::vector<int16_t> digits((size_t)n_windows * n, 0);
     const uint32_t mask = (1u << c_bits) - 1;
+    for (int64_t i = 0; i < n; ++i) {
+        if (inf[i]) continue;
+        int32_t carry = 0;
+        for (int w = 0; w < n_windows; ++w) {
+            const int bit = w * c_bits;
+            const int byte = bit >> 3;
+            const int off = bit & 7;
+            uint32_t chunk = 0;
+            if (byte < 32) {
+                const int span = byte > 28 ? 32 - byte : 4;
+                std::memcpy(&chunk, scalars + 32 * i + byte, span);
+            }
+            int32_t d = (int32_t)((chunk >> off) & mask) + carry;
+            if (d > half) {
+                d -= 1 << c_bits;
+                carry = 1;
+            } else {
+                carry = 0;
+            }
+            digits[(size_t)w * n + i] = (int16_t)d;
+        }
+        // carry out of the top window is impossible: scalars < 2^255 and
+        // the top digit is far below `half` for every c_bits >= 5
+    }
+
+    std::vector<Pt> wsums(n_windows);
 #pragma omp parallel for schedule(dynamic, 1)
     for (int w = 0; w < n_windows; ++w) {
-        std::vector<Pt> buckets((size_t)1 << c_bits);
-        for (auto& bkt : buckets) pt_identity(bkt);
-        const int bit = w * c_bits;
-        const int byte = bit >> 3;
-        const int off = bit & 7;
-        const int span = byte > 28 ? 32 - byte : 4;  // enough for off + c_bits <= 21 bits
+        const int16_t* dr = &digits[(size_t)w * n];
+        // counting sort of the window's nonzero digits by bucket magnitude
+        std::vector<int32_t> cnt((size_t)half + 1, 0);
         for (int64_t i = 0; i < n; ++i) {
-            if (inf[i]) continue;
-            uint32_t chunk = 0;
-            std::memcpy(&chunk, scalars + 32 * i + byte, span);
-            uint32_t d = (chunk >> off) & mask;
-            if (d) pt_add_mixed(c, buckets[d], buckets[d], px[i], py[i]);
+            int32_t d = dr[i];
+            if (d && !inf[i]) ++cnt[(d < 0 ? -d : d) - 1];
         }
+        std::vector<int32_t> start((size_t)half + 1, 0);
+        for (int32_t b = 0; b < half; ++b) start[b + 1] = start[b] + cnt[b];
+        const int32_t total = start[half];
+        // bucket-sorted affine points, sign applied at materialization
+        std::vector<Fe> xs((size_t)total), ys((size_t)total);
+        std::vector<Fe> nx((size_t)total), ny((size_t)total);
+        {
+            std::vector<int32_t> cursor(start.begin(), start.end() - 1);
+            for (int64_t i = 0; i < n; ++i) {
+                int32_t d = dr[i];
+                if (!d || inf[i]) continue;
+                int32_t b = (d < 0 ? -d : d) - 1;
+                int32_t pos = cursor[b]++;
+                xs[pos] = px[i];
+                ys[pos] = d < 0 ? pny[i] : py[i];
+            }
+        }
+        std::vector<int32_t> len((size_t)half);
+        for (int32_t b = 0; b < half; ++b) len[b] = cnt[b];
+        // pairwise tree reduction: each round halves every bucket's point
+        // count; ALL slopes of the round share one Montgomery batch
+        // inversion. ~log2(max occupancy) rounds total.
+        std::vector<int32_t> osrc, odst;
+        std::vector<uint8_t> okind;
+        std::vector<Fe> denom, dprefix;
+        std::vector<int32_t> nstart((size_t)half + 1);
+        bool more = true;
+        while (more) {
+            more = false;
+            osrc.clear(); odst.clear(); okind.clear(); denom.clear();
+            nstart[0] = 0;
+            for (int32_t b = 0; b < half; ++b) {
+                const int32_t s = start[b], l = len[b];
+                int32_t wpos = nstart[b];
+                for (int32_t k = 0; k + 1 < l; k += 2) {
+                    const Fe& x1 = xs[s + k];
+                    const Fe& y1 = ys[s + k];
+                    const Fe& x2 = xs[s + k + 1];
+                    const Fe& y2 = ys[s + k + 1];
+                    if (std::memcmp(&x1, &x2, 32) == 0) {
+                        if (std::memcmp(&y1, &y2, 32) == 0) {
+                            Fe d2y;
+                            fe_add(c, d2y, y1, y1);
+                            osrc.push_back(s + k); odst.push_back(wpos++);
+                            okind.push_back(1);
+                            denom.push_back(d2y);
+                        }
+                        // else P + (-P): cancels, emit nothing
+                        continue;
+                    }
+                    Fe dx;
+                    fe_sub(c, dx, x2, x1);
+                    osrc.push_back(s + k); odst.push_back(wpos++);
+                    okind.push_back(0);
+                    denom.push_back(dx);
+                }
+                if (l & 1) {  // odd survivor passes through
+                    nx[wpos] = xs[s + l - 1];
+                    ny[wpos] = ys[s + l - 1];
+                    ++wpos;
+                }
+                len[b] = wpos - nstart[b];
+                nstart[b + 1] = wpos;
+                if (len[b] > 1) more = true;
+            }
+            const size_t m = denom.size();
+            if (m) {
+                dprefix.resize(m);
+                Fe acc = c->one;
+                for (size_t t = 0; t < m; ++t) {
+                    dprefix[t] = acc;
+                    fe_mul(c, acc, acc, denom[t]);
+                }
+                Fe inv;
+                fe_inv(c, inv, acc);
+                for (size_t t = m; t-- > 0;) {
+                    Fe dinv;
+                    fe_mul(c, dinv, dprefix[t], inv);
+                    fe_mul(c, inv, inv, denom[t]);
+                    const int32_t sidx = osrc[t];
+                    const Fe& x1 = xs[sidx];
+                    const Fe& y1 = ys[sidx];
+                    const Fe& x2 = xs[sidx + 1];
+                    Fe lam;
+                    if (okind[t]) {
+                        Fe xx, num;
+                        fe_sqr(c, xx, x1);
+                        fe_add(c, num, xx, xx);
+                        fe_add(c, num, num, xx);  // 3x^2
+                        fe_mul(c, lam, num, dinv);
+                    } else {
+                        Fe dy;
+                        fe_sub(c, dy, ys[sidx + 1], y1);
+                        fe_mul(c, lam, dy, dinv);
+                    }
+                    Fe x3, y3, t0;
+                    fe_sqr(c, x3, lam);
+                    fe_sub(c, x3, x3, x1);
+                    fe_sub(c, x3, x3, x2);
+                    fe_sub(c, t0, x1, x3);
+                    fe_mul(c, y3, lam, t0);
+                    fe_sub(c, y3, y3, y1);
+                    nx[odst[t]] = x3;
+                    ny[odst[t]] = y3;
+                }
+            }
+            xs.swap(nx);
+            ys.swap(ny);
+            start.swap(nstart);
+        }
+        // bucket fold: running sum from the top magnitude down
         Pt running, wsum;
         pt_identity(running);
         pt_identity(wsum);
-        for (int b = (1 << c_bits) - 1; b >= 1; --b) {
-            pt_add(c, running, running, buckets[b]);
+        for (int32_t b = half - 1; b >= 0; --b) {
+            if (len[b]) pt_add_mixed(c, running, running, xs[start[b]], ys[start[b]]);
             pt_add(c, wsum, wsum, running);
         }
         wsums[w] = wsum;

@@ -136,3 +136,101 @@ class TestNativeConstants:
         want = G.quotient_constants(pk.vk)
         for key in ("l0", "llast", "lactive", "x", "t_inv"):
             assert list(got[key]) == list(want[key]), key
+
+
+class TestNativeVerifierKernels:
+    """Round-5 verifier-latency kernels (csrc/pasta.cpp): batch point
+    decompress, the IPA s-vector and the grand-product prefix, each
+    cross-checked bit-exact against the authoritative host layer."""
+
+    def test_point_decompress_matches_host(self):
+        import numpy as np
+
+        from battlezips_halo2_tpu import native
+        from battlezips_halo2_tpu.curves import host as CH
+        from battlezips_halo2_tpu.curves.host import VESTA
+        from battlezips_halo2_tpu.fields.host import FP, FQ
+
+        assert native.available()
+        rng = random.Random(11)
+        pts = [VESTA.mul(VESTA.generator, rng.randrange(1, FP.modulus)) for _ in range(24)]
+        enc = b"".join(VESTA.to_bytes(p) for p in pts) + b"\x00" * 32
+        xy, status, bad = native.point_decompress(native.which_for(FQ.modulus), enc)
+        assert bad == -1
+        for i, p in enumerate(pts):
+            assert status[i] == 0
+            x = int.from_bytes(xy[i][:32].tobytes(), "little")
+            y = int.from_bytes(xy[i][32:].tobytes(), "little")
+            assert (x, y) == p
+        assert status[len(pts)] == 1  # identity encoding
+        # malformed: non-canonical x, and x off-curve — both rejected with
+        # the same semantics as Curve.from_bytes
+        bad_x = FQ.modulus.to_bytes(32, "little")
+        _, st, b = native.point_decompress(native.which_for(FQ.modulus), bad_x)
+        assert b == 0 and st[0] == 2
+        x = 1
+        while FQ.sqrt((x**3 + 5) % FQ.modulus) is not None:
+            x += 1
+        _, st, b = native.point_decompress(
+            native.which_for(FQ.modulus), x.to_bytes(32, "little")
+        )
+        assert b == 0 and st[0] == 2
+
+    def test_from_bytes_native_equals_python(self):
+        """Curve.from_bytes routes through the native decoder; the Python
+        branch must agree byte-for-byte on points, identity and rejects."""
+        from battlezips_halo2_tpu import native as nat_mod
+        from battlezips_halo2_tpu.curves.host import VESTA
+        from battlezips_halo2_tpu.fields.host import FP
+
+        rng = random.Random(12)
+        for _ in range(8):
+            p = VESTA.mul(VESTA.generator, rng.randrange(1, FP.modulus))
+            enc = VESTA.to_bytes(p)
+            native_pt = VESTA.from_bytes(enc)
+            try:
+                orig = nat_mod.available
+                nat_mod.available = lambda: False
+                python_pt = VESTA.from_bytes(enc)
+            finally:
+                nat_mod.available = orig
+            assert native_pt == python_pt == p
+
+    def test_ipa_s_vector_matches_reference(self):
+        from battlezips_halo2_tpu import native
+        from battlezips_halo2_tpu.fields.host import FP
+
+        m = FP.modulus
+        rng = random.Random(13)
+        k, n = 5, 32
+        us = [rng.randrange(1, m) for _ in range(k)]
+        a0 = rng.randrange(m)
+        out = native.ipa_s_vector(native.which_for(m), us, a0, n)
+        for i in range(n):
+            exp = a0
+            for j in range(k):
+                if (i >> (k - 1 - j)) & 1:
+                    exp = exp * us[j] % m
+            assert int.from_bytes(out[i].tobytes(), "little") == exp
+
+    def test_grand_product_matches_reference(self):
+        from battlezips_halo2_tpu import native
+        from battlezips_halo2_tpu.fields.host import FP
+
+        m = FP.modulus
+        rng = random.Random(14)
+        usable = 60
+        nums = [rng.randrange(1, m) for _ in range(usable)]
+        dens = [rng.randrange(1, m) for _ in range(usable)]
+        carry = rng.randrange(m)
+        z = native.grand_product(
+            native.which_for(m),
+            native.ints_to_bytes_arr(nums),
+            native.ints_to_bytes_arr(dens),
+            carry,
+        )
+        acc = carry
+        assert int.from_bytes(z[0].tobytes(), "little") == carry
+        for i in range(usable):
+            acc = acc * nums[i] % m * pow(dens[i], -1, m) % m
+            assert int.from_bytes(z[i + 1].tobytes(), "little") == acc
