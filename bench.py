@@ -330,14 +330,24 @@ def bench_board_verify(iters: int):
     }
 
 
-def bench_session(games: int, shots_per_game: int):
-    """Batched game session (BASELINE.md config 5, single-host scale):
-    `games` board proofs + games*shots_per_game shot proofs, end-to-end
-    proofs/sec including verification of every proof."""
+def bench_session(games: int, shots_per_game: int, batched: bool = False, engine: str | None = None):
+    """Batched game session (BASELINE.md config 5): `games` board proofs +
+    games*shots_per_game shot proofs, end-to-end proofs/sec including
+    verification of every proof. Full-scale config 5 is 8g8s = 72 proofs
+    (`--games 8 --shots 8`).
+
+    ``batched`` routes through the batch-amortized prover
+    (plonk/batch_prover.py — one device dispatch per Fiat-Shamir phase per
+    circuit batch); ``engine`` picks its commit/quotient executor
+    (device/host/auto). Proof bytes are bit-identical across all of these
+    (tests/test_batch_prover.py), so the modes are directly comparable."""
     from battlezips_halo2_tpu import api
     from battlezips_halo2_tpu.utils import Board, Deck
 
     placements = [(3, 3, True), (5, 4, False), (0, 1, False), (0, 5, True), (6, 1, False)]
+    # distinct boards exercise distinct witnesses across the session
+    alt = [(1, 8, False), (2, 2, True), (7, 0, True), (4, 5, False), (9, 3, True)]
+    games_list = [placements if g % 2 == 0 else alt for g in range(games)]
     # serving-style warmup: load/build pk artifacts + per-pk evaluators once
     # (a real session server does this at startup, like the pk caching the
     # reference's wasm layer lacks — circuit_wasm.rs:57-62)
@@ -346,17 +356,34 @@ def bench_session(games: int, shots_per_game: int):
     warm_state = Board.from_deck(Deck.from_placements(placements)).state()
     warm_shot = api.prove_shot(warm_state, 3, (3, 3), True)
     assert api.verify_shot(warm_shot)
+    if batched:
+        # warm the batch pipeline's extra executables at the REAL batch
+        # shapes (the batched quotient / wide-commit graphs specialize on
+        # B) so the timed run measures the steady state
+        api.prove_session(
+            games_list, shots_per_game=shots_per_game, seed=1, batched=True, batch_engine=engine
+        )
     t0 = time.time()
-    session = api.prove_session([placements] * games, shots_per_game=shots_per_game)
+    session = api.prove_session(
+        games_list, shots_per_game=shots_per_game, seed=7, batched=batched, batch_engine=engine
+    )
+    prove_s = time.time() - t0
     assert api.verify_session(session)
     elapsed = time.time() - t0
     n_proofs = len(session.board_proofs) + len(session.shot_proofs)
+    tag = f"session_proofs_per_sec_{games}g{shots_per_game}s" + ("_batched" if batched else "")
     return {
-        "metric": f"session_proofs_per_sec_{games}g{shots_per_game}s",
+        "metric": tag,
         "value": round(n_proofs / elapsed, 4),
         "unit": "proofs/s (incl verify)",
         "vs_baseline": round((n_proofs / elapsed) / REF_CPU_SESSION_PPS, 4),
-        "detail": {"proofs": n_proofs, "seconds": round(elapsed, 1), "backend": jax.default_backend()},
+        "detail": {
+            "proofs": n_proofs,
+            "seconds": round(elapsed, 1),
+            "prove_seconds": round(prove_s, 1),
+            "engine": engine or "auto",
+            "backend": jax.default_backend(),
+        },
     }
 
 
@@ -371,12 +398,19 @@ def main():
         choices=["msm", "ntt", "shot-proof", "board-proof", "board-verify", "session"],
     )
     ap.add_argument("--log-size", type=int, default=None)
-    ap.add_argument("--iters", type=int, default=24)
+    ap.add_argument("--iters", type=int, default=None)
     ap.add_argument("--games", type=int, default=2, help="session metric: game count")
     ap.add_argument("--shots", type=int, default=8, help="session metric: shots per game")
+    ap.add_argument("--batched", action="store_true", help="session: batch-amortized prover")
+    ap.add_argument("--engine", default=None, choices=[None, "device", "host", "auto"],
+                    help="session --batched: commit/quotient executor")
     args = ap.parse_args()
     if args.log_size is None:
         args.log_size = 18 if args.metric == "msm" else 16
+    if args.iters is None:
+        # 2^20-scale chains hold the variant pipeline's sort buffers live;
+        # shorter chains keep peak HBM inside the v5e (VERDICT r4 next #2)
+        args.iters = (6 if args.log_size >= 20 else 24) if args.metric == "msm" else 24
     if args.metric == "msm":
         result = bench_msm(args.log_size, args.iters)
     elif args.metric == "ntt":
@@ -386,7 +420,7 @@ def main():
     elif args.metric == "board-verify":
         result = bench_board_verify(max(1, args.iters))
     elif args.metric == "session":
-        result = bench_session(args.games, args.shots)
+        result = bench_session(args.games, args.shots, batched=args.batched, engine=args.engine)
     else:
         result = bench_shot_proof(max(1, args.iters))
     print(json.dumps(result))

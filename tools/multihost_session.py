@@ -221,6 +221,13 @@ def launch(procs: int, games: int, shots: int, seed: int, check_identity: bool) 
             os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
         ).strip(),
     }
+    # N processes emulating N hosts share THIS machine's cores: split the
+    # native engine's OpenMP pool evenly or the workers thrash each other
+    # (measured r5: 0.61 -> 1.23 proofs/s at 2 procs on a 4-core host).
+    # A real multi-host launch (one proc per machine) should export
+    # OMP_NUM_THREADS itself; an explicit env value always wins.
+    if "OMP_NUM_THREADS" not in os.environ:
+        env_base["OMP_NUM_THREADS"] = str(max(1, (os.cpu_count() or procs) // procs))
     children = []
     for rank in range(procs):
         env = {**env_base, "BZ_PROC_ID": str(rank)}
