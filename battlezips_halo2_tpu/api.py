@@ -44,7 +44,8 @@ def _cached_pk(name: str, params, make_circuit):
     # schema v3: selector compression with degree-true lookup budgets
     # changed the pk layout — versioned filename invalidates stale artifacts
     # v4: vk digest switched to the halo2 hash_into pinned-vk construction
-    path = _artifact_dir() / f"pk_h2c_{name}_{params.k}_v4.pkl"
+    # v5: first-use query numbering (halo2 order) changed the eval schedule
+    path = _artifact_dir() / f"pk_h2c_{name}_{params.k}_v5.pkl"
     if path.exists():
         try:
             return ProvingKey.load(path)

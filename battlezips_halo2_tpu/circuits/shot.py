@@ -77,11 +77,15 @@ class ShotChip:
             with_selector(s_hit_bool.expr(), [("asserted hit value is boolean", (1 - assertion) * assertion)]),
         )
 
-        # running sums (shot.rs:239-261)
+        # running sums (shot.rs:239-261); cells bind in the reference
+        # closure's statement order (shot.rs:241-246) for first-use
+        # query numbering
         hit_bit = advice[5].cur()
         shot_bit = advice[6].cur()
-        shot_sum, prev_shot_sum = advice[7].cur(), advice[7].prev()
-        hit_sum, prev_hit_sum = advice[8].cur(), advice[8].prev()
+        shot_sum = advice[7].cur()
+        hit_sum = advice[8].cur()
+        prev_shot_sum = advice[7].prev()
+        prev_hit_sum = advice[8].prev()
         cs.create_gate(
             "shot running sum row",
             with_selector(

@@ -83,12 +83,18 @@ class PlacementChip:
         s_constrain = cs.selector()
 
         # s_input: columns are repurposed — bit_sum holds h, full_window_sum
-        # holds v, bits holds the collapsed sum (placement.rs:121-133)
+        # holds v, bits holds the collapsed sum (placement.rs:121-133).
+        # Cells bind in the reference closure's statement order
+        # (placement.rs:127-129: horizontal, vertical, sum) so first-use
+        # query numbering matches halo2's.
+        horizontal = bit_sum.cur()
+        vertical = full_window_sum.cur()
+        sum_ = bits.cur()
         cs.create_gate(
             "sum inputted H, V bits",
             with_selector(
                 s_input.expr(),
-                [("h + v = sum", bits.cur() - (bit_sum.cur() + full_window_sum.cur()))],
+                [("h + v = sum", sum_ - (horizontal + vertical))],
             ),
         )
 
@@ -100,16 +106,29 @@ class PlacementChip:
             ),
         )
 
-        # window-indicator polynomial via Lagrange interpolation over 0..=S
-        coeffs = lagrange_interpolate(list(range(s + 1)), [0] * s + [1])
+        # window-indicator polynomial via Lagrange interpolation over 0..=S.
+        # Query order follows placement.rs:150-158: the S window bits, then
+        # full_window_sum at prev, then at cur.
         bit_count = bits.cur()
         for i in range(1, s):
             bit_count = bit_count + bits.query(i)
-        indicator = Constant(coeffs[0])
+        prev_full_window_count = full_window_sum.prev()
+        full_window_count = full_window_sum.cur()
+        coeffs = lagrange_interpolate(list(range(s + 1)), [0] * s + [1])
+        # expression-tree shape mirrors interpolate_incrementor / exp_pow
+        # (placement.rs:166-207): the fold seeds at Constant(0), the i=0
+        # term multiplies by exp_pow(x, 0) = Constant(1), and x^i builds as
+        # a left-assoc product chain — so the {:?} tree in the pinned vk
+        # matches the reference's construction node for node
+        indicator = Constant(0)
         x_pow = None
-        for i in range(1, len(coeffs)):
-            x_pow = bit_count if x_pow is None else x_pow * bit_count
-            indicator = indicator + Constant(coeffs[i]) * x_pow
+        for i in range(len(coeffs)):
+            if i == 0:
+                term = Constant(coeffs[i]) * Constant(1)
+            else:
+                x_pow = bit_count if x_pow is None else x_pow * bit_count
+                term = Constant(coeffs[i]) * x_pow
+            indicator = indicator + term
         cs.create_gate(
             "adjacency bit count",
             with_selector(
@@ -117,7 +136,7 @@ class PlacementChip:
                 [
                     (
                         "Full Window Running Sum",
-                        full_window_sum.cur() - full_window_sum.prev() - indicator,
+                        full_window_count - prev_full_window_count - indicator,
                     )
                 ],
             ),

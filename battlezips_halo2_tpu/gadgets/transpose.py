@@ -33,8 +33,12 @@ class TransposeChip:
     @staticmethod
     def configure(cs: ConstraintSystem, permuted_bits, transposed_bits: Column) -> TransposeConfig:
         selector = cs.selector()
-        acc = permuted_bits[0].cur()
-        for col in permuted_bits[1:]:
+        # tree shape mirrors transpose.rs:57-63: the sum fold seeds at
+        # Constant(0) and adds the ten permuted-bit queries in column order
+        from ..plonk.expression import Constant
+
+        acc = Constant(0)
+        for col in permuted_bits:
             acc = acc + col.cur()
         cs.create_gate(
             "transpose row constraint",

@@ -76,18 +76,44 @@ class ProofSchedule:
 
     @staticmethod
     def _build_uncached(cs: ConstraintSystem) -> "ProofSchedule":
-        advice: set = set()
-        fixed: set = set()
+        # FIRST-USE query numbering (halo2 0.2.0 semantics): a column query
+        # gets its index at its first `query_*` call during configure —
+        # enable_equality's implicit Rotation::cur query interleaved with
+        # the gate/lookup builders' queries in closure statement order. Our
+        # expressions carry a creation sequence (CellQuery.seq), and
+        # enable_equality records its seq on the constraint system, so the
+        # minimum seq per (column, rotation) reproduces that order exactly
+        # when the chips build expressions in the reference closures'
+        # statement order (PARITY.md "query numbering"). Legacy pickled
+        # systems without seqs fall back to the old sorted order via the
+        # BIG sentinel + key tiebreak.
+        BIG = 1 << 62
+        advice: dict = {}
+        fixed: dict = {}
+
+        def note(d, key, seq):
+            if key not in d or seq < d[key]:
+                d[key] = seq
 
         def visit_expr(expr):
-            for col, rot in expr.queried_cells():
+            from .expression import CellQuery, Negated, Product, SelectorQuery, Sum
+
+            if isinstance(expr, CellQuery):
+                seq = getattr(expr, "seq", BIG)
+                col = expr.column
                 if col.kind == ColumnType.ADVICE:
-                    advice.add((col.index, rot))
+                    note(advice, (col.index, expr.rotation), seq)
                 elif col.kind == ColumnType.FIXED:
-                    fixed.add((col.index, rot))
+                    note(fixed, (col.index, expr.rotation), seq)
                 else:
                     raise ValueError("instance columns may not appear in gates")
-            _collect_selectors(expr, fixed, cs)
+            elif isinstance(expr, SelectorQuery):
+                note(fixed, (selector_column_index(cs, expr.sel.index), 0), getattr(expr, "seq", BIG))
+            elif isinstance(expr, (Sum, Product)):
+                visit_expr(expr.a)
+                visit_expr(expr.b)
+            elif isinstance(expr, Negated):
+                visit_expr(expr.a)
 
         for gate in cs.gates:
             for _, poly in gate.constraints:
@@ -97,20 +123,28 @@ class ProofSchedule:
                 visit_expr(i_expr)
                 visit_expr(t_expr)
         # the permutation argument reads every equality column at rotation 0
+        # (halo2: enable_equality itself queried the column at cur)
+        eq_seqs = getattr(cs, "equality_query_seq", {})
+        instance_d: dict = {}
         for col in cs.equality_columns:
+            seq = eq_seqs.get((col, 0), BIG)
             if col.kind == ColumnType.ADVICE:
-                advice.add((col.index, 0))
+                note(advice, (col.index, 0), seq)
             elif col.kind == ColumnType.FIXED:
-                fixed.add((col.index, 0))
-        instance = tuple(sorted((c.index, 0) for c in cs.equality_columns if c.kind == ColumnType.INSTANCE))
+                note(fixed, (col.index, 0), seq)
+            else:
+                note(instance_d, (col.index, 0), seq)
+
+        def ordered(d):
+            return tuple(k for k in sorted(d, key=lambda k: (d[k], k)))
 
         chunk_len = max(1, cs.degree() - 2)
         n_cols = len(cs.equality_columns)
         chunks = (n_cols + chunk_len - 1) // chunk_len
         return ProofSchedule(
-            advice_queries=tuple(sorted(advice)),
-            fixed_queries=tuple(sorted(fixed)),
-            instance_queries=instance,
+            advice_queries=ordered(advice),
+            fixed_queries=ordered(fixed),
+            instance_queries=ordered(instance_d),
             num_perm_chunks=chunks,
             chunk_len=chunk_len,
         )

@@ -51,6 +51,11 @@ class ConstraintSystem:
         self.equality_columns: list[Column] = []
         self.constant_column: Column | None = None
         self.table_columns: list[TableColumn] = []
+        # (column, 0) -> creation seq of the rotation-cur query that halo2's
+        # enable_equality implicitly makes (plonk/circuit.rs: enable_equality
+        # calls query_any_index(column, Rotation::cur) before adding the
+        # column to the permutation) — feeds first-use query numbering
+        self.equality_query_seq: dict = {}
 
     # --- column allocation ------------------------------------------------
     def advice_column(self) -> Column:
@@ -82,6 +87,9 @@ class ConstraintSystem:
     def enable_equality(self, column: Column):
         if column not in self.equality_columns:
             self.equality_columns.append(column)
+            from .expression import next_query_seq
+
+            self.equality_query_seq[(column, 0)] = next_query_seq()
 
     def enable_constant(self, column: Column):
         """Declare the global constant column (must be fixed, equality on)."""

@@ -11,9 +11,25 @@ the real prover (ops/gate_eval.py).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+import itertools
+from dataclasses import dataclass, field
 from enum import Enum
 from typing import Any, Callable
+
+# Global creation-order counter for cell queries (and the equality
+# registrations in circuit.py). halo2 0.2.0 numbers column queries in
+# FIRST-USE order — the order `VirtualCells::query_*` calls happen inside
+# `configure` closures, interleaved with `enable_equality` (which itself
+# queries the column at Rotation::cur, plonk/circuit.rs). Our chips build
+# the same expressions in the reference closures' statement order, so the
+# creation sequence of CellQuery objects reproduces that call order and
+# ProofSchedule derives halo2's query numbering from min-seq-first-use
+# (PARITY.md query-order note).
+_SEQ = itertools.count()
+
+
+def next_query_seq() -> int:
+    return next(_SEQ)
 
 
 class ColumnType(Enum):
@@ -138,6 +154,10 @@ class Constant(Expression):
 class CellQuery(Expression):
     column: Column
     rotation: int
+    # creation order (excluded from eq/hash/repr): ProofSchedule derives
+    # halo2's first-use query numbering from the earliest seq per (column,
+    # rotation) pair — see module docstring note
+    seq: int = field(default_factory=next_query_seq, compare=False, repr=False)
 
     def degree(self):
         return 1
@@ -156,6 +176,7 @@ class CellQuery(Expression):
 @dataclass(frozen=True)
 class SelectorQuery(Expression):
     sel: Selector
+    seq: int = field(default_factory=next_query_seq, compare=False, repr=False)
 
     def degree(self):
         return 1

@@ -42,14 +42,15 @@ Structure reproduced (halo2 0.2.0):
     lookup Argument { input_expressions, table_expressions },
     permutation VerifyingKey { commitments }
 
-Known residue vs real halo2 (PARITY.md row 9): query indices here follow
-this framework's canonical sorted-(column, rotation) order
-(plonk/arguments.ProofSchedule), where halo2 numbers queries in first-use
-configure order; and expression trees are this framework's gate builds.
-Both are deterministic, so the digest is a stable commitment to the full
-pinned vk — circuit shape, query schedule, fixed/sigma commitments — with
-halo2's exact hashing construction. The text itself is byte-pinned for a
-tiny circuit in tests/test_pinned.py.
+Query indices follow halo2's FIRST-USE numbering (r5:
+plonk/arguments.ProofSchedule orders by CellQuery creation seq — see the
+PARITY.md residue section). Expression trees for the in-repo application
+gates match the reference closures' construction; the ECC gadget region
+is this framework's own (semantically equal) gate layout, so its pinned
+text is a framework construction by design. The digest is a stable
+commitment to the full pinned vk — circuit shape, query schedule,
+fixed/sigma commitments — with halo2's exact hashing construction. The
+text itself is byte-pinned for a tiny circuit in tests/test_pinned.py.
 """
 
 from __future__ import annotations
