@@ -173,7 +173,10 @@ def prove_session(
     * ``workers > 1`` pipelines the independent proofs across a thread pool
       (the proof-batch PP axis): device dispatches release the GIL, so one
       proof's host phases overlap another's device phases. Default 1
-      (BZ_SESSION_WORKERS env overrides). Ignored when ``batched``.
+      (BZ_SESSION_WORKERS env overrides). With ``batched``, workers>1
+      instead splits the shot batch into PP SUB-BATCHES advanced
+      concurrently — one sub-batch's host tail overlaps another's device
+      phases; proof bytes are unchanged either way.
     * ``dp_devices`` enables DATA-parallel proving: each worker's device
       work is pinned round-robin onto one of the given jax devices (an int
       selects the first N local devices; BZ_SESSION_DP env overrides). DP
@@ -250,9 +253,31 @@ def prove_session(
                 circuits.append(circuit)
                 instances.append([circuit.public_instance()])
                 rngs_s.append(job_rng(1_000_000 + idx))
-            proofs = create_proofs_batched(
-                params, pk, circuits, instances, rngs_s, engine=batch_engine
-            )
+            if workers > 1 and len(circuits) >= 2 * workers:
+                # PP across sub-batches: each worker advances its sub-batch
+                # through the Fiat-Shamir phases independently, so one
+                # sub-batch's host tail (evals/multiopen/IPA) overlaps
+                # another's device dispatches. Per-proof bytes are
+                # unaffected (each proof's transcript/rng is its own).
+                from concurrent.futures import ThreadPoolExecutor
+
+                step = (len(circuits) + workers - 1) // workers
+                spans = [(i, min(i + step, len(circuits))) for i in range(0, len(circuits), step)]
+                with ThreadPoolExecutor(max_workers=workers) as pool:
+                    futs = [
+                        pool.submit(
+                            create_proofs_batched,
+                            params, pk,
+                            circuits[a:b], instances[a:b], rngs_s[a:b],
+                            engine=batch_engine,
+                        )
+                        for a, b in spans
+                    ]
+                    proofs = [p for f in futs for p in f.result()]
+            else:
+                proofs = create_proofs_batched(
+                    params, pk, circuits, instances, rngs_s, engine=batch_engine
+                )
             for circuit, inst, p in zip(circuits, instances, proofs):
                 inst = inst[0]
                 shot_proofs.append(

@@ -98,10 +98,15 @@ def _wrap_native(poly):
 def _get_batch_quotient_evaluator(vk, schedule):
     ev = getattr(vk, "_batch_quotient_evaluator", None)
     if ev is None:
-        from ..ops.gate_eval import BatchQuotientEvaluator
+        from .prover import _evaluator_lock
 
-        ev = BatchQuotientEvaluator(vk, schedule)
-        vk._batch_quotient_evaluator = ev
+        with _evaluator_lock:
+            ev = getattr(vk, "_batch_quotient_evaluator", None)
+            if ev is None:
+                from ..ops.gate_eval import BatchQuotientEvaluator
+
+                ev = BatchQuotientEvaluator(vk, schedule)
+                vk._batch_quotient_evaluator = ev
     return ev
 
 

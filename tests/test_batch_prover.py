@@ -137,6 +137,18 @@ class TestBatchProduction:
         for c, proof in zip(circuits, batched):
             assert verify_proof(params, pk.vk, proof, [c.public_instance()])
 
+    def test_session_pp_subbatches_bit_identical(self):
+        """workers>1 in batched mode splits the shot batch into PP
+        sub-batches — bytes must not change."""
+        from battlezips_halo2_tpu import api
+
+        placements = [(3, 3, True), (5, 4, False), (0, 1, False), (0, 5, True), (6, 1, False)]
+        one = api.prove_session([placements], shots_per_game=4, trapdoors=[0x31], seed=3, batched=True)
+        two = api.prove_session(
+            [placements], shots_per_game=4, trapdoors=[0x31], seed=3, batched=True, workers=2
+        )
+        assert [p.proof for p in one.shot_proofs] == [p.proof for p in two.shot_proofs]
+
     def test_session_batched_bit_identical(self):
         """api.prove_session(batched=True) == sequential session, same seed."""
         from battlezips_halo2_tpu import api

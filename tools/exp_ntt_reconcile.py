@@ -80,9 +80,12 @@ def run_size(log_size):
     if (1 << 14) <= n <= (1 << 21):
         variants.append("matmul")
     rows = []
+    # shorter chains at 2^20+: the chained variant pipeline's live buffers
+    # exhausted HBM in the r4 harness (VERDICT r4 next #3)
+    k_set = (3, 8, 24) if log_size < 20 else (2, 4, 8)
     for variant in variants:
         walls = {}
-        for K in (3, 8, 24):
+        for K in k_set:
             fn = build_chain(n, dom, variant, K)
             rm = rho_stack(1, K)
             t0 = time.time()
@@ -101,9 +104,10 @@ def run_size(log_size):
                 f"({best/K*1000:8.2f} ms/rep; first {first:.1f}s)",
                 flush=True,
             )
-        # fit fixed dispatch cost C + per-rep t from K=3 vs K=24
-        t = (walls[24] - walls[3]) / 21.0
-        C = walls[3] - 3 * t
+        # fit fixed dispatch cost C + per-rep t from the smallest/largest K
+        k_lo, k_hi = k_set[0], k_set[-1]
+        t = (walls[k_hi] - walls[k_lo]) / (k_hi - k_lo)
+        C = walls[k_lo] - k_lo * t
         rows.append(
             {
                 "n": f"2^{log_size}",
@@ -111,7 +115,7 @@ def run_size(log_size):
                 "walls": {str(k): round(v, 3) for k, v in walls.items()},
                 "per_rep_ms": round(t * 1000, 2),
                 "fixed_dispatch_s": round(C, 2),
-                "eps_at_K24": round(n / (walls[24] / 24), 1),
+                "eps_at_Kmax": round(n / (walls[k_hi] / k_hi), 1),
                 "eps_marginal": round(n / t, 1) if t > 0 else None,
             }
         )
