@@ -185,7 +185,6 @@ def prove_session(
     * ``seed`` derives a per-job blinding rng (deterministic sessions);
       None keeps secrets-backed blinding.
     """
-    import os as _os
     import random as _random
 
     import jax as _jax
@@ -193,7 +192,7 @@ def prove_session(
     from .config import config as _config
 
     if batched is None:
-        batched = _os.environ.get("BZ_SESSION_BATCHED", "") == "1"
+        batched = _config().session_batched
     if workers is None:
         workers = _config().session_workers
     if dp_devices is None and _config().session_dp:

@@ -30,6 +30,10 @@ Environment flags:
 | BZ_MSM_LANES | msm_lanes | serial-scan lane cap |
 | BZ_DISPATCH_RETRIES / BZ_DISPATCH_BACKOFF_S | dispatch_retries / dispatch_backoff_s | transient-failure retry policy |
 | BZ_SESSION_WORKERS / BZ_SESSION_DP | session_workers / session_dp | api.prove_session pipelining / DP defaults |
+| BZ_SESSION_BATCHED | session_batched | route sessions through the batch-amortized prover |
+| BZ_BATCH_ENGINE | batch_engine | batch prover commit/quotient executor: auto/device/host |
+| BZ_BATCH_CHUNK / BZ_BATCH_QUOTIENT_CHUNK | batch_chunk / batch_quotient_chunk | columns / proofs per batched dispatch |
+| BZ_BATCH_TAIL_WORKERS | batch_tail_workers | threads for the per-proof multiopen/IPA tail |
 | BZ_MESH_DP / BZ_MESH_TP | mesh.dp / mesh.tp | parallel.context.mesh_from_config shape |
 | BZ_NUM_PROCS / BZ_PROC_ID / BZ_COORDINATOR | procs / proc_id / coordinator | jax.distributed wiring |
 | BZ_RUN_SLOW | run_slow_tests | production-proof test tier |
@@ -98,6 +102,13 @@ class FrameworkConfig:
     # serving / session
     session_workers: int = 1
     session_dp: int | None = None
+    session_batched: bool = False  # BZ_SESSION_BATCHED: batch-amortized prover
+
+    # batch-amortized prover (plonk/batch_prover.py)
+    batch_engine: str = "auto"  # BZ_BATCH_ENGINE: "auto" | "device" | "host"
+    batch_chunk: int = 256  # BZ_BATCH_CHUNK: columns per fused-commit dispatch
+    batch_quotient_chunk: int = 16  # BZ_BATCH_QUOTIENT_CHUNK: proofs per quotient dispatch
+    batch_tail_workers: int = 1  # BZ_BATCH_TAIL_WORKERS: threads for the multiopen/IPA tail
 
     # mesh / distributed
     mesh: MeshConfig = field(default_factory=MeshConfig)
@@ -131,6 +142,11 @@ class FrameworkConfig:
             dispatch_backoff_s=float(os.environ.get("BZ_DISPATCH_BACKOFF_S", "2.0")),
             session_workers=int(os.environ.get("BZ_SESSION_WORKERS", "1")),
             session_dp=int(os.environ["BZ_SESSION_DP"]) if os.environ.get("BZ_SESSION_DP") else None,
+            session_batched=_flag("BZ_SESSION_BATCHED"),
+            batch_engine=os.environ.get("BZ_BATCH_ENGINE", "auto"),
+            batch_chunk=int(os.environ.get("BZ_BATCH_CHUNK", "256")),
+            batch_quotient_chunk=int(os.environ.get("BZ_BATCH_QUOTIENT_CHUNK", "16")),
+            batch_tail_workers=int(os.environ.get("BZ_BATCH_TAIL_WORKERS", "1")),
             mesh=MeshConfig(
                 dp=int(os.environ["BZ_MESH_DP"]) if "BZ_MESH_DP" in os.environ else None,
                 tp=int(os.environ["BZ_MESH_TP"]) if "BZ_MESH_TP" in os.environ else None,

@@ -40,7 +40,6 @@ Engine routing (``engine`` param / BZ_BATCH_ENGINE):
 
 from __future__ import annotations
 
-import os
 import time
 
 import numpy as np
@@ -67,7 +66,7 @@ def _batch_engine(explicit: str | None) -> str:
         assert explicit in ("auto", "device", "host")
         engine = explicit
     else:
-        engine = os.environ.get("BZ_BATCH_ENGINE", "auto")
+        engine = _config().batch_engine
     if engine == "auto":
         from ..ops.msm import device_backend_is_tpu
 
@@ -152,7 +151,7 @@ def create_proofs_batched(
     # engine overrides for the batched commit calls: the device tier packs
     # many columns per dispatch; the host tier is the native C++ Pippenger
     commit_engine = engine
-    commit_chunk = int(os.environ.get("BZ_BATCH_CHUNK", "256")) if engine == "device" else None
+    commit_chunk = _config().batch_chunk if engine == "device" else None
 
     states = [_ProofState() for _ in circuits]
     fixed_values = pk.fixed_values
@@ -429,7 +428,7 @@ def create_proofs_batched(
 
     if engine == "device":
         evaluator = _get_batch_quotient_evaluator(vk, schedule)
-        qchunk = int(os.environ.get("BZ_BATCH_QUOTIENT_CHUNK", "16"))
+        qchunk = _config().batch_quotient_chunk
         h_all = []
         for start in range(0, len(states), qchunk):
             group = states[start : start + qchunk]
@@ -486,7 +485,7 @@ def create_proofs_batched(
         _proof_tail(params, vk, schedule, s, usable, fixed_wrapped, sigma_wrapped)
         return s.transcript.finalize()
 
-    workers = int(os.environ.get("BZ_BATCH_TAIL_WORKERS", "0")) or 1
+    workers = _config().batch_tail_workers
     if workers > 1 and len(states) > 1:
         from concurrent.futures import ThreadPoolExecutor
 
