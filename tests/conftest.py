@@ -25,7 +25,17 @@ jax.config.update("jax_platforms", "cpu")
 # cached even in the slow tier, only pathological ones skip the write.
 # BZ_NO_COMPILE_CACHE=1 remains a manual kill switch.
 if os.environ.get("BZ_NO_COMPILE_CACHE", "") in ("", "0"):
-    _cache_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+    # CPU caches are MACHINE-FINGERPRINTED: XLA:CPU AOT results compiled on
+    # a host with different CPU features SIGSEGV/SIGILL when loaded (r5: the
+    # slow tier crashed in test_signed_device_msm_vs_host loading a
+    # +prefer-no-gather artifact from a previous machine). The TPU cache
+    # (.jax_cache, used by bench.py) is unaffected — TPU executables are
+    # machine-independent here. (battlezips_halo2_tpu/utils/jaxcache.py)
+    from battlezips_halo2_tpu.utils.jaxcache import cache_dir as _bz_cache_dir
+
+    _cache_dir = _bz_cache_dir(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "cpu"
+    )
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

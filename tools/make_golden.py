@@ -23,12 +23,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-if os.environ.get("BZ_FORCE_CPU"):
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_platform = "cpu" if os.environ.get("BZ_FORCE_CPU") else "tpu"
+from battlezips_halo2_tpu.utils.jaxcache import configure as _configure_cache  # noqa: E402
+
+_configure_cache(jax, _REPO, _platform)
+if _platform == "cpu":
     # proofs are backend-independent (device quotient bit-identical to host);
     # CPU generation keeps the relay free and is deterministic offline
     jax.config.update("jax_platforms", "cpu")

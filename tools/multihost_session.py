@@ -42,8 +42,9 @@ def worker(games: int, shots: int, seed: int, check_identity: bool) -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from battlezips_halo2_tpu.utils.jaxcache import configure as _configure_cache
+
+    _configure_cache(jax, REPO, "cpu")
 
     import random
 
