@@ -589,7 +589,11 @@ class BatchQuotientEvaluator:
 
         def run_batch(shared, per_batch, challenges_batch):
             # shared: (S, n, 16); per_batch: (B, Pk, n, 16);
-            # challenges_batch: (B, 4, 16) — all plain canonical limbs
+            # challenges_batch: (B, 4, 16) — canonical limbs, shipped as
+            # uint16 (halves the relay upload; widened here)
+            shared = shared.astype(jnp.uint32)
+            per_batch = per_batch.astype(jnp.uint32)
+            challenges_batch = challenges_batch.astype(jnp.uint32)
             ext_shared = jax.lax.map(extend_one, shared)
 
             def one_proof(args):
@@ -649,7 +653,8 @@ class BatchQuotientEvaluator:
                 h_ext = L.mont_mul(spec, regs[0], c_tinv)
                 coeffs = D.intt(plan_inv, h_ext, n_inv)
                 coeffs = L.mont_mul(spec, coeffs, inv_scale)
-                return L.from_mont(spec, coeffs)
+                # canonical limbs < 2^16 — u16 halves the download
+                return L.from_mont(spec, coeffs).astype(jnp.uint16)
 
             return jax.lax.map(one_proof, (per_batch, challenges_batch))
 
@@ -674,10 +679,12 @@ class BatchQuotientEvaluator:
                 poly = coeff_polys_by_key_list[0][key]
                 flat.extend(list(poly) + [0] * (n - len(poly)))
             self._shared_cache = jnp.asarray(
-                ints_to_limbs(flat).reshape(len(self.shared_keys), n, L.NLIMBS)
+                ints_to_limbs(flat)
+                .reshape(len(self.shared_keys), n, L.NLIMBS)
+                .astype(np.uint16)
             )
 
-        per = np.empty((b, len(self.per_keys), n, L.NLIMBS), np.uint32)
+        per = np.empty((b, len(self.per_keys), n, L.NLIMBS), np.uint16)
         for bi, polys_by_key in enumerate(coeff_polys_by_key_list):
             flat = []
             for key in self.per_keys:
@@ -686,7 +693,7 @@ class BatchQuotientEvaluator:
             per[bi] = ints_to_limbs(flat).reshape(len(self.per_keys), n, L.NLIMBS)
         ch = np.stack(
             [ints_to_limbs([c % P for c in chs]) for chs in challenges_list]
-        )
+        ).astype(np.uint16)
         out = np.asarray(
             device_call(
                 self._fn,

@@ -742,12 +742,26 @@ def unsigned_digits_device(limbs_canonical, c: int):
 
 @functools.lru_cache(maxsize=None)
 def _compiled_commit_batch(
-    base_modulus: int, scalar_modulus: int, n: int, c: int, batch: int, omega: int
+    base_modulus: int,
+    scalar_modulus: int,
+    n: int,
+    c: int,
+    batch: int,
+    omega: int,
+    from_lagrange: bool = True,
 ):
-    """Fused commit-from-Lagrange graph: to_mont -> iNTT -> from_mont ->
-    in-graph digit extraction -> Pippenger window sums, ONE dispatch for a
-    batch of polynomials over a shared point set. Returns (coeffs, wsums,
-    collision flags); the host folds windows and adds the blinding [b]W.
+    """Fused commit graph: [to_mont -> iNTT -> from_mont when
+    ``from_lagrange``] -> in-graph digit extraction -> Pippenger window
+    sums, ONE dispatch for a batch of polynomials over a shared point set.
+    Returns (coeffs, wsums, collision flags); the host folds windows and
+    adds the blinding [b]W. ``from_lagrange=False`` commits
+    COEFFICIENT-form polynomials (h pieces, random polys) with the same
+    in-graph digit extraction — the old msm_many route paid seconds of
+    host-Python digit extraction per batched-session phase.
+
+    IO rides uint16: canonical 16-bit limbs are exactly representable, so
+    casting halves the relay transfer both ways (the 256-column batched
+    dispatches moved ~270 MB round-trip as u32 — r5 session anatomy).
 
     Fusing kills two round-trips per prover phase (the coeff download +
     digit upload between the former separate NTT and MSM dispatches) and
@@ -761,9 +775,13 @@ def _compiled_commit_batch(
 
     @jax.jit
     def f(qx, qy, qinf, vals):
-        vm = L.to_mont(sspec, vals)
-        cm = D.intt(plan_inv, vm, jnp.asarray(n_inv_mont))
-        coeffs = L.from_mont(sspec, cm)  # (B, n, 16) canonical
+        vals = vals.astype(jnp.uint32)
+        if from_lagrange:
+            vm = L.to_mont(sspec, vals)
+            cm = D.intt(plan_inv, vm, jnp.asarray(n_inv_mont))
+            coeffs = L.from_mont(sspec, cm)  # (B, n, 16) canonical
+        else:
+            coeffs = vals
 
         def body(_, cf):
             digits = unsigned_digits_device(cf, c)
@@ -771,7 +789,7 @@ def _compiled_commit_batch(
             return None, (r, coll)
 
         _, (ws, colls) = jax.lax.scan(body, None, coeffs)
-        return coeffs, ws, colls
+        return coeffs.astype(jnp.uint16), ws, colls
 
     return f
 

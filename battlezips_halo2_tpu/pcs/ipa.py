@@ -374,7 +374,7 @@ def commit_lagrange_many(
                 for v in group
             ]
             + [np.zeros((n, 16), np.uint32)] * (b_target - len(group))
-        )
+        ).astype(np.uint16)  # canonical limbs < 2^16: halves the upload
         f = _compiled_commit_batch(
             VESTA.base.modulus, FP.modulus, n, c, b_target, domain.omega
         )
@@ -480,9 +480,85 @@ def commit_many(
         engine_host = engine == "host"
     if engine_host:
         return _host_commit_many(params, polys, blinds)
+    if engine == "device":
+        # coefficient-form fused device commit: in-graph digit extraction
+        # (msm_many's host scalars_to_signed_digits cost seconds of Python
+        # per batched-session phase) + uint16 IO. Same exact points.
+        return _device_commit_coeff_many(params, polys, blinds, chunk or 4)
     points = params.g + [params.w]
     scalars_list = [list(p) + [0] * (params.n - len(p)) + [b] for p, b in zip(polys, blinds)]
-    return msm_many(VESTA, points, scalars_list, force_device=(engine == "device"), chunk=chunk)
+    return msm_many(VESTA, points, scalars_list, chunk=chunk)
+
+
+def _device_commit_coeff_many(params: Params, polys: list, blinds: list, chunk: int) -> list[Point]:
+    """commit_many's device tier: the fused commit graph with
+    from_lagrange=False — coefficient polys in, window sums out; the host
+    folds windows and adds [blind]W (bit-identical to every other commit
+    path: point arithmetic is exact)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..curves.limb import affine_to_jacobian_host, jacobian_to_affine_host
+    from ..fields import limb as L
+    from ..fields.limb import FieldSpec
+    from ..ops.dispatch import device_call
+    from ..ops.msm import (
+        _compiled_commit_batch,
+        auto_window,
+        host_msm,
+        host_window_fold,
+    )
+    from ..poly.domain import EvaluationDomain
+
+    n = params.n
+    c, _ = auto_window(n)
+    idx_bits = max(1, (n - 1).bit_length())
+    c = min(c, 31 - idx_bits)
+    spec = FieldSpec.make(VESTA.base.modulus)
+    jac = affine_to_jacobian_host(spec, params.g)
+    qx, qy = jnp.asarray(jac.x), jnp.asarray(jac.y)
+    qinf = jnp.zeros(n, dtype=bool)
+    # any valid omega works — the graph skips the iNTT entirely; use the
+    # canonical domain root so the compile cache key is stable
+    omega = EvaluationDomain(params.k, 2).omega
+
+    points: list = []
+    for start in range(0, len(polys), chunk):
+        group = polys[start : start + chunk]
+        b_target = max(1, 1 << (len(group) - 1).bit_length())
+        vals = np.stack(
+            [
+                np.asarray(
+                    L.ints_to_limbs(
+                        [int(x) % FP.modulus for x in p] + [0] * (n - len(p))
+                    )
+                )
+                for p in group
+            ]
+            + [np.zeros((n, 16), np.uint32)] * (b_target - len(group))
+        ).astype(np.uint16)
+        f = _compiled_commit_batch(
+            VESTA.base.modulus, FP.modulus, n, c, b_target, omega, from_lagrange=False
+        )
+        _, ws, colls = device_call(
+            f, qx, qy, qinf, jnp.asarray(vals), what="fused coeff commit"
+        )
+        colls = np.asarray(colls)
+        w_count = ws.x.shape[1]
+        flat = type(jac)(
+            np.asarray(ws.x).reshape(-1, 16),
+            np.asarray(ws.y).reshape(-1, 16),
+            np.asarray(ws.z).reshape(-1, 16),
+        )
+        aff = jacobian_to_affine_host(spec, flat)
+        for gi in range(len(group)):
+            if bool(colls[gi].any()):
+                base = host_msm(VESTA, params.g, list(group[gi]))
+            else:
+                base = host_window_fold(VESTA, aff[gi * w_count : (gi + 1) * w_count], c)
+            blinded = host_msm(VESTA, [params.w], [blinds[start + gi]])
+            points.append(VESTA.add(base, blinded))
+    return points
 
 
 def _inner(a: list[int], b: list[int]) -> int:

@@ -50,3 +50,20 @@ def test_fused_commit_empty(monkeypatch):
     params = Params.new(K)
     domain = EvaluationDomain(K, 2)
     assert commit_lagrange_many(params, domain, [], []) == ([], [])
+
+
+def test_device_coeff_commit_matches_host():
+    """commit_many engine='device' (fused coeff-form graph, uint16 IO,
+    in-graph digits) == the native/host commit, point for point."""
+    import random
+
+    from battlezips_halo2_tpu.fields.host import FP
+    from battlezips_halo2_tpu.pcs.ipa import Params, commit_many
+
+    params = Params.new(5)
+    rng = random.Random(5)
+    polys = [[rng.randrange(FP.modulus) for _ in range(params.n)] for _ in range(3)]
+    blinds = [rng.randrange(FP.modulus) for _ in range(3)]
+    dev = commit_many(params, polys, blinds, engine="device", chunk=2)
+    host = commit_many(params, polys, blinds, engine="host")
+    assert dev == host
