@@ -98,6 +98,10 @@ def _try_load():
         lib.pasta_grand_product.argtypes = [
             ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64,
         ]
+        lib.pasta_window_fold.argtypes = [
+            ctypes.c_int, ctypes.c_char_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ]
         return lib
     except (OSError, AttributeError):
         return None
@@ -322,6 +326,26 @@ def grand_product(which: int, nums, dens, carry: int):
         int(carry).to_bytes(32, "little"), _buf_ptr(out), usable,
     )
     return out
+
+
+def window_fold_batch(which: int, points_flat, b: int, n_windows: int, c_bits: int) -> list:
+    """Batched Horner window fold: points_flat = b*n_windows affine (x, y)
+    tuples / None in window order (LSB window first per result). Returns b
+    affine points (None = identity). OpenMP over the batch — replaces
+    ~c*W Python-int point ops PER COLUMN in the batched commit paths."""
+    import numpy as np
+
+    lib = load()
+    assert lib is not None
+    pbuf = points_buffer(points_flat)
+    out = ctypes.create_string_buffer(64 * b)
+    lib.pasta_window_fold(which, pbuf, out, b, n_windows, c_bits)
+    results = []
+    for i in range(b):
+        x = int.from_bytes(out.raw[64 * i : 64 * i + 32], "little")
+        y = int.from_bytes(out.raw[64 * i + 32 : 64 * i + 64], "little")
+        results.append(None if x == 0 and y == 0 else (x, y))
+    return results
 
 
 def msm_buf_scalars(which: int, pbuf: bytes, sarr) -> tuple | None:

@@ -664,6 +664,22 @@ def host_window_fold(curve: Curve, wsum_points: list, c: int):
     return acc
 
 
+def fold_window_sums(curve: Curve, aff_flat: list, b: int, w_count: int, c: int) -> list:
+    """Horner window fold for b result vectors at once — the native C++
+    batch kernel when available (OpenMP over results; the Python-int fold
+    cost ~c·W point ops PER RESULT, ~10 s across a 72-proof batched
+    session), exact Python otherwise."""
+    from .. import native
+
+    if b > 1 and native.available():
+        which = native.which_for(curve.base.modulus)
+        return native.window_fold_batch(which, aff_flat[: b * w_count], b, w_count, c)
+    return [
+        host_window_fold(curve, aff_flat[i * w_count : (i + 1) * w_count], c)
+        for i in range(b)
+    ]
+
+
 def _msm_device_batch(spec: FieldSpec, qx, qy, qinf, digits_batch, c: int, complete: bool = False):
     """digits_batch: (B, W, N) — B independent scalar sets over shared
     points in one program, vmapped. The serial-run accumulation's per-step

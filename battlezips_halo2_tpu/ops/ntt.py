@@ -79,6 +79,74 @@ def plan_for(modulus: int, n: int, omega: int) -> NttPlan:
     return NttPlan(spec, n, omega)
 
 
+class NttArgPlan:
+    """Lean plan for the ARGUMENT-twiddle butterfly: bit-reverse indices
+    plus per-stage DISTINCT twiddles only (half entries per stage, n total
+    — no n/2-tiled tables, no gather index triples). At n >= 2^20 the
+    baked-constant tables of NttPlan push the relay's remote-compile
+    payload past its HTTP 413 limit (~1.3 GB of twiddles at 2^20), so the
+    big-n path ships twiddles as traced arguments instead: uploaded once
+    as device arrays, referenced by every chained rep."""
+
+    def __init__(self, spec: FieldSpec, n: int, omega: int):
+        self.spec = spec
+        self.n = n
+        self.omega = omega
+        field = spec.host
+        logn = n.bit_length() - 1
+        self.logn = logn
+        self.rev_idx = np.array([bit_reverse(i, logn) for i in range(n)], dtype=np.int32)
+        r = spec.r_mod_p
+        self.stage_twiddles = []  # (half, 16) Montgomery, distinct only
+        length = 2
+        while length <= n:
+            half = length // 2
+            w_len = pow(omega, n // length, field.modulus)
+            tw = []
+            w = 1
+            for _ in range(half):
+                tw.append(int_to_limbs(w * r % field.modulus))
+                w = w * w_len % field.modulus
+            self.stage_twiddles.append(np.stack(tw))
+            length *= 2
+
+    def device_twiddles(self):
+        """Per-stage twiddles as device arrays (upload once, pass as jit
+        ARGS — closure capture would bake them as constants again)."""
+        if not hasattr(self, "_dev_tw"):
+            self._dev_tw = [jnp.asarray(t) for t in self.stage_twiddles]
+        return self._dev_tw
+
+
+@functools.lru_cache(maxsize=None)
+def arg_plan_for(modulus: int, n: int, omega: int) -> NttArgPlan:
+    return NttArgPlan(FieldSpec.make(modulus), n, omega)
+
+
+def ntt_arg_tw(spec: FieldSpec, logn: int, a, rev_idx, tw_stages):
+    """Radix-2 DIT butterfly with twiddles as traced arguments.
+
+    a: (..., n, 16) Montgomery, natural order in AND out — bit-exact equal
+    to ``ntt(plan, a)`` (tests/test_ops.py). Stages use reshape-contiguous
+    pair addressing (pairs at distance 2^s live in a (groups, 2, half)
+    view) so no per-stage gather indices are needed; only the single
+    bit-reverse gather remains."""
+    n = 1 << logn
+    x = jnp.take(a, rev_idx, axis=-2)
+    batch = x.shape[:-2]
+    for s in range(logn):
+        half = 1 << s
+        groups = n >> (s + 1)
+        g = x.reshape(batch + (groups, 2, half, L.NLIMBS))
+        u = g[..., 0, :, :]
+        v = g[..., 1, :, :]
+        vt = L.mont_mul(spec, v, jnp.broadcast_to(tw_stages[s], v.shape))
+        x = jnp.stack([L.add(spec, u, vt), L.sub(spec, u, vt)], axis=-3).reshape(
+            batch + (n, L.NLIMBS)
+        )
+    return x
+
+
 import os
 
 from ..config import config as _config

@@ -390,6 +390,9 @@ def commit_lagrange_many(
             np.asarray(ws.z).reshape(-1, 16),
         )
         aff = jacobian_to_affine_host(spec, flat)
+        from ..ops.msm import fold_window_sums
+
+        bases = fold_window_sums(VESTA, aff, len(group), w_count, c)
         for gi in range(len(group)):
             poly = L.limbs_to_ints(coeffs[gi])
             polys.append(poly)
@@ -398,9 +401,7 @@ def commit_lagrange_many(
                 # random commit scalars): recompute this one on host
                 base = host_msm(VESTA, params.g, poly)
             else:
-                base = host_window_fold(
-                    VESTA, aff[gi * w_count : (gi + 1) * w_count], c
-                )
+                base = bases[gi]
             blinded = host_msm(VESTA, [params.w], [blinds[start + gi]])
             points.append(VESTA.add(base, blinded))
     return polys, points
@@ -551,11 +552,14 @@ def _device_commit_coeff_many(params: Params, polys: list, blinds: list, chunk: 
             np.asarray(ws.z).reshape(-1, 16),
         )
         aff = jacobian_to_affine_host(spec, flat)
+        from ..ops.msm import fold_window_sums
+
+        bases = fold_window_sums(VESTA, aff, len(group), w_count, c)
         for gi in range(len(group)):
             if bool(colls[gi].any()):
                 base = host_msm(VESTA, params.g, list(group[gi]))
             else:
-                base = host_window_fold(VESTA, aff[gi * w_count : (gi + 1) * w_count], c)
+                base = bases[gi]
             blinded = host_msm(VESTA, [params.w], [blinds[start + gi]])
             points.append(VESTA.add(base, blinded))
     return points

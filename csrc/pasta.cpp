@@ -507,6 +507,41 @@ void pasta_grand_product(int which, const uint8_t* nums, const uint8_t* dens,
     }
 }
 
+// Horner window fold of Pippenger window sums: out = sum_w 2^(c*w) * W_w,
+// folded MSB-first with c doublings per window. wsums: n_windows * 64-byte
+// affine points (identity = zeros) in window order (LSB window first);
+// out: 64-byte affine. Folds MANY results in one call (batch b): the
+// batched TPU commit returns hundreds of per-column window-sum vectors
+// and folding them in Python int arithmetic cost ~10 s per session.
+void pasta_window_fold(int which, const uint8_t* wsums, uint8_t* out,
+                       int64_t b, int64_t n_windows, int64_t c_bits) {
+    const FieldCtx* c = ctx_for(which);
+#pragma omp parallel for schedule(static)
+    for (int64_t bi = 0; bi < b; ++bi) {
+        Pt acc;
+        pt_identity(acc);
+        const uint8_t* base = wsums + 64 * n_windows * bi;
+        for (int64_t w = n_windows - 1; w >= 0; --w) {
+            for (int64_t d = 0; d < c_bits; ++d) pt_double(c, acc, acc);
+            Fe x, y;
+            std::memcpy(&x, base + 64 * w, 32);
+            std::memcpy(&y, base + 64 * w + 32, 32);
+            if (!(fe_is_zero(x) && fe_is_zero(y))) {
+                Fe xm, ym;
+                fe_to_mont(c, xm, x);
+                fe_to_mont(c, ym, y);
+                pt_add_mixed(c, acc, acc, xm, ym);
+            }
+        }
+        Fe ax, ay;
+        pt_to_affine(c, ax, ay, acc);
+        fe_from_mont(c, ax, ax);
+        fe_from_mont(c, ay, ay);
+        std::memcpy(out + 64 * bi, &ax, 32);
+        std::memcpy(out + 64 * bi + 32, &ay, 32);
+    }
+}
+
 // batched field ops; a, b, out: n * 32-byte LE canonical reprs
 void pasta_mul_batch(int which, const uint8_t* a, const uint8_t* b, uint8_t* out, int64_t n) {
     const FieldCtx* c = ctx_for(which);

@@ -234,3 +234,19 @@ class TestNativeVerifierKernels:
         for i in range(usable):
             acc = acc * nums[i] % m * pow(dens[i], -1, m) % m
             assert int.from_bytes(z[i + 1].tobytes(), "little") == acc
+
+    def test_window_fold_batch_matches_host(self):
+        from battlezips_halo2_tpu import native
+        from battlezips_halo2_tpu.curves.host import VESTA
+        from battlezips_halo2_tpu.fields.host import FP
+        from battlezips_halo2_tpu.ops.msm import fold_window_sums, host_window_fold
+
+        rng = random.Random(21)
+        c, w_count, b = 8, 11, 4
+        flat = [
+            None if rng.random() < 0.25 else VESTA.mul(VESTA.generator, rng.randrange(1, FP.modulus))
+            for _ in range(b * w_count)
+        ]
+        got = fold_window_sums(VESTA, flat, b, w_count, c)
+        want = [host_window_fold(VESTA, flat[i * w_count : (i + 1) * w_count], c) for i in range(b)]
+        assert got == want

@@ -393,3 +393,26 @@ def test_counting_partition_multi_array():
         # payload row i carries the original index; its grouped mag must match
         assert (mag_np[w][p_np[w]] == k_np[w]).all()
         assert sorted(p_np[w].tolist()) == list(range(n))
+
+
+def test_ntt_arg_twiddles_matches_host():
+    """ntt_arg_tw (argument-twiddle butterfly for 2^20+ relay payloads)
+    == host NTT, bit for bit."""
+    import jax.numpy as jnp
+
+    from battlezips_halo2_tpu.fields import FP, FP_SPEC, ints_to_limbs, limbs_to_ints
+    from battlezips_halo2_tpu.fields import limb as L
+    from battlezips_halo2_tpu.ops import ntt as D
+    from battlezips_halo2_tpu.poly.domain import EvaluationDomain, ntt_host
+
+    n = 64
+    dom = EvaluationDomain(6, 2)
+    rng = random.Random(9)
+    vals = [rng.randrange(FP.modulus) for _ in range(n)]
+    plan = D.arg_plan_for(FP.modulus, n, dom.omega)
+    a = jnp.asarray(L.to_mont(FP_SPEC, ints_to_limbs(vals)))
+    out = D.ntt_arg_tw(
+        FP_SPEC, plan.logn, a, jnp.asarray(plan.rev_idx), plan.device_twiddles()
+    )
+    got = limbs_to_ints(np.asarray(L.from_mont(FP_SPEC, out)))
+    assert got == ntt_host(vals, dom.omega)

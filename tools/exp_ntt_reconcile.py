@@ -43,6 +43,25 @@ from battlezips_halo2_tpu.poly.domain import EvaluationDomain
 
 
 def build_chain(n, dom, variant, K):
+    if variant == "butterfly" and n >= (1 << 20):
+        # baked twiddle tables exceed the relay's compile-payload limit
+        # (HTTP 413) from 2^20 — use the argument-twiddle butterfly
+        # (ops/ntt.ntt_arg_tw; bit-exact, tests/test_ops.py)
+        aplan = D.arg_plan_for(FP.modulus, n, dom.omega)
+        rev = jnp.asarray(aplan.rev_idx)
+        tws = aplan.device_twiddles()
+
+        @jax.jit
+        def chained_args(base, rho_monts, rev_idx, tw_stages):
+            def body(carry, rho):
+                x = L.mont_mul(FP_SPEC, base, jnp.broadcast_to(rho, base.shape))
+                out = D.ntt_arg_tw(FP_SPEC, aplan.logn, x, rev_idx, tw_stages)
+                return carry + jnp.sum(out.astype(jnp.uint32)), None
+
+            acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.uint32), rho_monts)
+            return acc
+
+        return lambda base, rm: chained_args(base, rm, rev, tws)
     # the variant is selected through the production router (BZ_NTT_MM env,
     # read at trace time) so the experiment times exactly what ntt() runs
     os.environ["BZ_NTT_MM"] = "off" if variant == "butterfly" else "on"
@@ -69,7 +88,7 @@ def rho_stack(seed, K):
     )
 
 
-def run_size(log_size):
+def run_size(log_size, only=None):
     n = 1 << log_size
     dom = EvaluationDomain(log_size, 2)
     rng = random.Random(3)
@@ -79,6 +98,8 @@ def run_size(log_size):
     variants = ["butterfly"]
     if (1 << 14) <= n <= (1 << 21):
         variants.append("matmul")
+    if only:
+        variants = [v for v in variants if v in only]
     rows = []
     # shorter chains at 2^20+: the chained variant pipeline's live buffers
     # exhausted HBM in the r4 harness (VERDICT r4 next #3)
@@ -125,10 +146,12 @@ def run_size(log_size):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="16")
+    ap.add_argument("--variants", default=None, help="comma list: butterfly,matmul")
     args = ap.parse_args()
+    only = args.variants.split(",") if args.variants else None
     out = []
     for s in args.sizes.split(","):
-        out.extend(run_size(int(s)))
+        out.extend(run_size(int(s), only=only))
     print(json.dumps(out, indent=1))
 
 
