@@ -103,30 +103,37 @@ def run_size(log_size, only=None):
     rows = []
     # shorter chains at 2^20+: the chained variant pipeline's live buffers
     # exhausted HBM in the r4 harness (VERDICT r4 next #3)
-    k_set = (3, 8, 24) if log_size < 20 else (2, 4, 8)
+    k_set = (3, 8, 24) if log_size < 20 else (1, 2, 4)
     for variant in variants:
         walls = {}
         for K in k_set:
-            fn = build_chain(n, dom, variant, K)
-            rm = rho_stack(1, K)
-            t0 = time.time()
-            np.asarray(fn(base, rm))
-            first = time.time() - t0
-            best = None
-            for seed in (2, 3, 4):
-                rm2 = rho_stack(seed, K)
+            try:
+                fn = build_chain(n, dom, variant, K)
+                rm = rho_stack(1, K)
                 t0 = time.time()
-                np.asarray(fn(base, rm2))
-                dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
+                np.asarray(fn(base, rm))
+                first = time.time() - t0
+                best = None
+                for seed in (2, 3, 4):
+                    rm2 = rho_stack(seed, K)
+                    t0 = time.time()
+                    np.asarray(fn(base, rm2))
+                    dt = time.time() - t0
+                    best = dt if best is None else min(best, dt)
+            except Exception as e:  # RESOURCE_EXHAUSTED at this K: fit from the rest
+                print(f"n=2^{log_size} {variant} K={K}: {type(e).__name__} (skipped)", flush=True)
+                continue
             walls[K] = best
             print(
                 f"n=2^{log_size} {variant:9s} K={K:2d}: wall {best:7.3f}s "
                 f"({best/K*1000:8.2f} ms/rep; first {first:.1f}s)",
                 flush=True,
             )
-        # fit fixed dispatch cost C + per-rep t from the smallest/largest K
-        k_lo, k_hi = k_set[0], k_set[-1]
+        if len(walls) < 2:
+            print(f"n=2^{log_size} {variant}: <2 chain lengths ran; no fit", flush=True)
+            continue
+        ks = sorted(walls)
+        k_lo, k_hi = ks[0], ks[-1]
         t = (walls[k_hi] - walls[k_lo]) / (k_hi - k_lo)
         C = walls[k_lo] - k_lo * t
         rows.append(
@@ -138,6 +145,7 @@ def run_size(log_size, only=None):
                 "fixed_dispatch_s": round(C, 2),
                 "eps_at_Kmax": round(n / (walls[k_hi] / k_hi), 1),
                 "eps_marginal": round(n / t, 1) if t > 0 else None,
+                "k_set_ran": ks,
             }
         )
     return rows
